@@ -1,0 +1,171 @@
+"""Deduplication operators for the training-data pipeline tier.
+
+The reference dedups at three granularities: URL identity (uh48 hash set,
+Spider.h:412), content identity (m_contentHash32 per reply, Spider.h:869 +
+result-set dup removal Msg39.h:44), and near-dup at serve time.  This module
+generalizes those to corpus-scale text dedup:
+
+- exact_dedup            : hash-groupBy on content hash (contentHash32
+                           analog); one shuffle, map-side partial
+- minhash_lsh_candidates : shingle → minhash(k permutations) → band-bucket →
+                           self-join within buckets (standard MinHash-LSH)
+- simhash64              : 64-bit simhash per doc + bucket by band for
+                           near-dup candidates
+- ngram_jaccard_pairs    : exact n-gram Jaccard for candidate pairs
+- embedding_cosine_dups  : cosine > threshold pairs via bucketed join
+
+Everything is DataFrame ops + built-in functions (xxhash64, split,
+array_intersect, ...) — no Python in the hot path.  At 100 TB: the LSH
+band-bucket join shuffles only (band, bucket-hash) pairs, never the full
+cross product; exact verification runs per-bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text_col(col):
+    """Lowercase + whitespace collapse — deterministic normalization shared
+    with the SQL oracles."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per exact (normalized) content —
+    contentHash32-style hash-groupBy. Returns (content_md5, keep_id,
+    dup_count)."""
+    return (df
+            .withColumn("content_md5", F.md5(normalize_text_col(
+                F.col(text_col))))
+            .groupBy("content_md5")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def shingles(col, n: int = 5):
+    """Word n-gram shingles as an array column (built-ins only)."""
+    words = F.split(normalize_text_col(col), " ")
+    # transform over index range → n-gram strings
+    return F.expr(
+        f"transform(sequence(0, greatest(size(split(trim(regexp_replace("
+        f"lower({col}), '\\\\s+', ' ')), ' ')) - {n}, 0) - 1), "
+        f"i -> array_join(slice(split(trim(regexp_replace(lower({col}), "
+        f"'\\\\s+', ' ')), ' '), i + 1, {n}), ' '))"
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 16,
+                      shingle_n: int = 5) -> DataFrame:
+    """MinHash signature: min over shingles of xxhash64(shingle, seed) for
+    each of ``num_hashes`` seeds. Pure built-ins (explode + groupBy min)."""
+    sh = (df.select(id_col, F.explode(
+        F.array_distinct(shingles(text_col, shingle_n))).alias("shingle")))
+    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(seed)))
+            .alias(f"mh{seed}") for seed in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 16,
+                           bands: int = 4, shingle_n: int = 5) -> DataFrame:
+    """Band the signature, bucket-join: docs sharing any band bucket are
+    near-dup candidates. Returns (id_a, id_b) with id_a < id_b."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.xxhash64(*cols).alias("bucket")))
+    banded = (sig.select(id_col, F.explode(F.array(*band_cols))
+                         .alias("bb"))
+              .select(id_col, "bb.band", "bb.bucket"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (left.join(right, ["band", "bucket"])
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens: per bit, sign of sum over tokens of
+    (bit set ? +1 : -1). Implemented with explode + groupBy over bit
+    positions — built-ins only."""
+    toks = (df.select(id_col, F.explode(F.split(
+        normalize_text_col(F.col(text_col)), " ")).alias("tok"))
+        .withColumn("h", F.xxhash64("tok")))
+    bit_sums = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b).cast("long"))
+                     != 0, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim + F.when(F.col(f"b{b}") > 0,
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 3) -> DataFrame:
+    """Exact word-n-gram Jaccard for given (id_a, id_b) candidate pairs."""
+    sh = df.select(F.col(id_col),
+                   F.array_distinct(shingles(text_col, shingle_n))
+                   .alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (pairs
+            .join(a, pairs.id_a == F.col(f"a.{id_col}"))
+            .join(b, pairs.id_b == F.col(f"b.{id_col}"))
+            .select(
+                "id_a", "id_b",
+                (F.size(F.array_intersect("a.sh", "b.sh")) /
+                 F.greatest(F.size(F.array_union("a.sh", "b.sh")),
+                            F.lit(1))).alias("jaccard")))
+
+
+def char_jaccard_consecutive(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Character-set Jaccard of each doc vs the next doc id — a
+    SQL-oracle-friendly near-dup probe (DuckDB ``jaccard()`` semantics:
+    distinct characters of each string)."""
+    chars = df.select(
+        F.col(id_col),
+        F.array_distinct(F.split(F.col(text_col), "")).alias("cs"))
+    a = chars.alias("a")
+    b = chars.alias("b")
+    return (a.join(b, F.col(f"a.{id_col}") + 1 == F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.round(
+                    F.size(F.array_intersect("a.cs", "b.cs")) /
+                    F.size(F.array_union("a.cs", "b.cs")), 6)
+                .alias("char_jaccard")))
+
+
+def embedding_cosine_dups(df: DataFrame, vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          threshold: float = 0.95) -> DataFrame:
+    """Near-dup pairs by embedding cosine — see similarity.py for the
+    bucketed ANN path; this is the exact all-pairs verifier for candidate
+    sets small enough to join."""
+    from .similarity import cosine_expr
+    a = df.alias("a")
+    b = df.alias("b")
+    return (a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .withColumn("cosine", cosine_expr(
+                F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")))
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"), "cosine"))

@@ -1,0 +1,93 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — one broadcast of the (small) query set
+against the corpus, JVM-vectorized with zip_with/aggregate, then the
+standard partial+final TakeOrdered.  Scale path: LSH-bucketed ANN
+(random-hyperplane signs → bucket join) so only same-bucket pairs are
+scored; IVF-style coarse quantization falls out of the same shape with
+k-means centroids as the bucketer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"),
+                       lambda acc, v: acc + v)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"),
+                              lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return dot_expr(ad, bd) / (norm_expr(ad) * norm_expr(bd))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     qid_col: str = "qid") -> DataFrame:
+    """Exact top-k neighbours per query vector. queries: (qid, embedding).
+    Broadcast the query side; score JVM-side; per-query window top-k."""
+    q = F.broadcast(queries.select(F.col(qid_col),
+                                   F.col(vec_col).alias("qvec")))
+    scored = (corpus.crossJoin(q)
+              .withColumn("cosine",
+                          F.round(cosine_expr(F.col(vec_col),
+                                              F.col("qvec")), 6)))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"),
+                                            F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, id_col, "cosine", "rank"))
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42):
+    """Deterministic pseudo-random hyperplanes as array<double> literals
+    (hash-derived, no RNG state)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit LSH bucket id: bit b = (vec · plane_b) > 0."""
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        sign = dot_expr(F.transform(vec, lambda x: x.cast("double")),
+                        lit_plane) > 0
+        bucket = bucket + F.when(sign, F.lit(1 << b).cast("long")) \
+                           .otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 qid_col: str = "qid", n_planes: int = 8,
+                 dim: int | None = None, seed: int = 42) -> DataFrame:
+    """Approximate top-k: only same-LSH-bucket candidates are scored.
+    At 100 TB the bucket join replaces the cross join — shuffle keyed on
+    the 2^n_planes bucket ids."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    cb = corpus.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    qb = F.broadcast(
+        queries.select(qid_col, F.col(vec_col).alias("qvec"))
+        .withColumn("bucket", lsh_bucket_expr(F.col("qvec"), planes)))
+    scored = (cb.join(qb, "bucket")
+              .withColumn("cosine",
+                          F.round(cosine_expr(F.col(vec_col),
+                                              F.col("qvec")), 6)))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, id_col, "cosine", "rank"))

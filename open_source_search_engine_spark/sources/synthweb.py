@@ -202,6 +202,8 @@ def write_corpus(out_dir: str, n_hosts: int = 8, mean_pages: int = 10,
     paths = {}
     for name, df in [("hostmeta", hm), ("pages", pages), ("seeds", seeds)]:
         p = os.path.join(out_dir, f"{name}.parquet")
-        df.to_parquet(p, index=False)
+        # microsecond timestamps: Spark cannot read parquet NANOS
+        df.to_parquet(p, index=False, coerce_timestamps="us",
+                      allow_truncated_timestamps=True)
         paths[name] = p
     return paths

@@ -1,0 +1,100 @@
+"""THE e2e gate: the Spark crawl pipeline must reproduce the oracle
+crawler's schedule (round, seq, url) and final URL-seen set exactly
+(north rule: crawl-order + URL-seen parity under same seeds + politeness
+budget)."""
+
+import os
+
+import pytest
+
+from open_source_search_engine_spark.oracle.crawler import (
+    CrawlConfig, OracleCrawler,
+)
+from open_source_search_engine_spark.plans.scheduler import CrawlDriver
+from open_source_search_engine_spark.sources import synthweb
+
+N_HOSTS = 8
+MEAN_PAGES = 6
+ROUNDS = 5
+CFG = CrawlConfig(rounds=ROUNDS, budget=50, round_ms=600_000)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("synthweb"))
+    paths = synthweb.write_corpus(d, n_hosts=N_HOSTS, mean_pages=MEAN_PAGES,
+                                  n_seeds=4)
+    return d, paths
+
+
+@pytest.fixture(scope="module")
+def oracle_state(corpus):
+    import pandas as pd
+    d, paths = corpus
+    oc = OracleCrawler(pd.read_parquet(paths["pages"]),
+                       pd.read_parquet(paths["hostmeta"]),
+                       pd.read_parquet(paths["seeds"]), CFG)
+    return oc.run(ROUNDS)
+
+
+@pytest.fixture(scope="module")
+def spark_driver(corpus, spark, tmp_path_factory):
+    d, paths = corpus
+    wd = str(tmp_path_factory.mktemp("crawlstate"))
+    drv = CrawlDriver(spark, wd, paths["pages"], paths["hostmeta"], CFG)
+    drv.seed(paths["seeds"])
+    drv.run(ROUNDS)
+    return drv
+
+
+def test_schedule_parity(oracle_state, spark_driver):
+    got = [
+        (r.round, r.seq, r.url, r.uh48, r.first_ip, r.priority,
+         r.hop_count, r.fetch_time_ms)
+        for r in spark_driver.schedule_df()
+        .orderBy("round", "seq").collect()
+    ]
+    want = [
+        (s["round"], s["seq"], s["url"], s["uh48"], s["first_ip"],
+         s["priority"], s["hop_count"], s["fetch_time_ms"])
+        for s in oracle_state.schedule
+    ]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g == w, f"schedule mismatch: spark={g} oracle={w}"
+
+
+def test_url_seen_parity(oracle_state, spark_driver):
+    got = {r.uh48 for r in spark_driver.url_seen_df().collect()}
+    want = set(oracle_state.url_seen)
+    assert got == want
+
+
+def test_metrics_parity(oracle_state, spark_driver):
+    m = {r.round: r for r in
+         spark_driver.t_metrics.read(spark_driver.spark).collect()}
+    for om in oracle_state.metrics:
+        sm = m[om["round"]]
+        assert sm.scheduled == om["scheduled"]
+        assert sm.fetched_ok == om["fetched_ok"]
+        assert sm.fetch_errors == om["fetch_errors"]
+        assert sm.new_urls == om["new_urls"]
+
+
+def test_resume_from_snapshot(corpus, spark, tmp_path_factory,
+                              oracle_state):
+    """North rule: crawls resume mid-run from the last committed snapshot.
+    Run 2 rounds, build a NEW driver on the same workdir, run 3 more —
+    identical schedule to a straight 5-round run."""
+    d, paths = corpus
+    wd = str(tmp_path_factory.mktemp("resume"))
+    drv1 = CrawlDriver(spark, wd, paths["pages"], paths["hostmeta"], CFG)
+    drv1.seed(paths["seeds"])
+    drv1.run(2)
+    drv2 = CrawlDriver(spark, wd, paths["pages"], paths["hostmeta"], CFG)
+    assert drv2.current_round() == 2
+    drv2.run(3)
+    got = [(r.round, r.seq, r.url) for r in
+           drv2.schedule_df().orderBy("round", "seq").collect()]
+    want = [(s["round"], s["seq"], s["url"]) for s in oracle_state.schedule]
+    assert got == want
