@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus the frontier
+scheduling-core throughput bench, and prints ONE JSON line:
+    {"metric": "frontier_sched_urls_per_sec", "value": N, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": 0.1, ...}
+
+--scaling: additionally runs the identical frontier bench at N and 4N cores
+(local[8] vs local[32] by default) on the same input and reports throughput
+at both + efficiency = T8_rate vs T32_rate/4 — the sandbox evidence for the
+north rule's two-cluster-size criterion (see BENCH.md).
+
+The frontier bench measures the pure scheduling core (dedup window →
+latest-reply join → compiled url-filter → politeness math → per-IP winner
+window → spacing → global top-B): all JVM column ops, no Python.  Robots
+parsing is per-host amortized state in the real pipeline, so the bench
+models crawl-delay as a host-derived column.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+FRONTIER_ROWS = int(os.environ.get("OSSE_BENCH_FRONTIER", "3000000"))
+
+HEADLINE = [
+    "latest_reply", "winners_topk", "politeness_spacing", "frontier_dedup",
+    "agg_pricing", "dedup_exact", "minhash_lsh", "cosine_topk",
+    "token_counts",
+]
+
+
+def _sf_of(path: str) -> float:
+    import re
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def make_spark(cpus: int):
+    from open_source_search_engine_spark.session import get_spark
+    return get_spark(app_name=f"bench-{cpus}", cpus=cpus)
+
+
+def run_headline(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    out = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        out[name] = round(time.time() - t, 3)
+        _ = n
+    return out
+
+
+def frontier_sched_plan(spark, requests, replies, cfg=None):
+    """The scheduling core as one lazy DataFrame (see plans/scheduler.py
+    for the full pipeline with fetch/extract)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.functions import filters as Fc
+    from open_source_search_engine_spark.kernel.urlfilter import (
+        DEFAULT_WEB_PROFILE,
+    )
+
+    now_ms = 1_600_000_000_000
+    budget = 500_000
+    winner_k = 2000
+
+    w_uh = Window.partitionBy("uh48").orderBy(F.desc("spidered_time_ms"))
+    latest = (replies.withColumn("_rn", F.row_number().over(w_uh))
+              .filter(F.col("_rn") == 1)
+              .select("uh48",
+                      F.col("spidered_time_ms").alias("last_spidered_ms"),
+                      "err_code", "err_count", "http_status", "is_indexed",
+                      F.col("lang").alias("reply_lang")))
+    w_req = Window.partitionBy("uh48").orderBy("hop_count", "added_time_ms")
+    req = (requests.withColumn("_rn", F.row_number().over(w_req))
+           .filter(F.col("_rn") == 1).drop("_rn"))
+    cand = (req.join(latest, "uh48", "left")
+            .withColumn("has_reply", F.col("last_spidered_ms").isNotNull())
+            .withColumn("tld", F.lit("com"))
+            .withColumn("lang", F.coalesce("reply_lang", F.lit("")))
+            .withColumn("last_spider_time",
+                        F.coalesce(F.col("last_spidered_ms") / 1000,
+                                   F.lit(0)))
+            .withColumn("rule", Fc.compile_rules(DEFAULT_WEB_PROFILE))
+            .filter(~F.col("rule.force_delete") &
+                    (F.col("rule.max_spiders") > 0))
+            # crawl-delay: per-host amortized robots state, modeled as a
+            # host-derived column (250..2250ms)
+            .withColumn("crawl_delay_ms",
+                        (F.lit(250) +
+                         F.pmod(F.xxhash64("first_ip"), F.lit(2000)))
+                        .cast("long"))
+            .withColumn("last_dl", F.lit(0).cast("long"))
+            .withColumn(
+                "spider_time_ms",
+                F.greatest(
+                    F.col("added_time_ms"),
+                    F.col("last_dl") + F.col("rule.ip_wait_ms").cast("long"),
+                    F.col("last_dl") + F.col("crawl_delay_ms"),
+                    F.when(F.col("has_reply") &
+                           (F.col("last_spidered_ms") > 0),
+                           F.col("last_spidered_ms") +
+                           (F.col("rule.spider_freq_days") * 86400.0
+                            * 1000.0).cast("long"))
+                    .otherwise(F.lit(0))))
+            .filter(F.col("spider_time_ms") <= F.lit(now_ms)))
+    w_ip = Window.partitionBy("first_ip").orderBy(
+        F.desc(F.col("rule.priority")), F.asc("hop_count"),
+        F.asc("spider_time_ms"), F.asc("uh48"))
+    w_cum = w_ip.rowsBetween(Window.unboundedPreceding, -1)
+    cand = (cand.withColumn("_rank", F.row_number().over(w_ip))
+            .filter(F.col("_rank") <= winner_k)
+            .withColumn("eff_delay",
+                        F.greatest(F.col("rule.ip_wait_ms").cast("long"),
+                                   F.col("crawl_delay_ms")))
+            .withColumn("fetch_time_ms",
+                        F.lit(now_ms) +
+                        F.coalesce(F.sum("eff_delay").over(w_cum),
+                                   F.lit(0)))
+            .filter(F.col("fetch_time_ms") < F.lit(now_ms + 600_000)))
+    return (cand.orderBy(F.desc(F.col("rule.priority")),
+                         F.asc("fetch_time_ms"), F.asc("uh48"))
+            .limit(budget)
+            .select("url", "uh48", "first_ip",
+                    F.col("rule.priority").alias("priority"),
+                    "fetch_time_ms"))
+
+
+def run_frontier_bench(spark, n_rows: int) -> dict:
+    from open_source_search_engine_spark.sources.frontier_gen import (
+        gen_frontier, gen_replies_for,
+    )
+    requests = gen_frontier(spark, n_rows)
+    replies = gen_replies_for(requests)
+    # materialize inputs first so we time the scheduling core, not the gen
+    requests = requests.persist()
+    replies = replies.persist()
+    n_in = requests.count()
+    _ = replies.count()
+    t = time.time()
+    out = frontier_sched_plan(spark, requests, replies)
+    n_sched = out.count()
+    dt = time.time() - t
+    requests.unpersist()
+    replies.unpersist()
+    return {"rows_in": n_in, "scheduled": n_sched,
+            "sec": round(dt, 3),
+            "urls_per_sec": round(n_in / dt, 1)}
+
+
+def main():
+    scaling = "--scaling" in sys.argv
+    result = {}
+
+    spark = make_spark(CPUS)
+    queries = run_headline(spark)
+    fb = run_frontier_bench(spark, FRONTIER_ROWS)
+    result.update({
+        "metric": "frontier_sched_urls_per_sec",
+        "value": fb["urls_per_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_of(SF_DIR),
+        "frontier_rows": fb["rows_in"],
+        "frontier_scheduled": fb["scheduled"],
+        "frontier_sec": fb["sec"],
+        "cpus": CPUS,
+    })
+
+    if scaling:
+        spark.stop()
+        levels = [max(2, CPUS // 4), CPUS]
+        rates = {}
+        for cpus in levels:
+            s = make_spark(cpus)
+            r = run_frontier_bench(s, FRONTIER_ROWS)
+            rates[cpus] = r
+            s.stop()
+        n, n4 = levels
+        eff = (rates[n4]["urls_per_sec"] / rates[n]["urls_per_sec"]) \
+            / (n4 / n)
+        result["scaling"] = {
+            f"local[{n}]": rates[n],
+            f"local[{n4}]": rates[n4],
+            "efficiency": round(eff, 3),
+        }
+    else:
+        spark.stop()
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

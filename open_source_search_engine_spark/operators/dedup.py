@@ -102,16 +102,19 @@ def simhash64(df: DataFrame, text_col: str = "text",
     toks = (df.select(id_col, F.explode(F.split(
         normalize_text_col(F.col(text_col)), " ")).alias("tok"))
         .withColumn("h", F.xxhash64("tok")))
+    def bit(b):
+        # shiftleft avoids the 1<<63 long-literal overflow
+        return F.shiftleft(F.lit(1).cast("long"), b)
+
     bit_sums = [
-        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b).cast("long"))
-                     != 0, 1).otherwise(-1)).alias(f"b{b}")
+        F.sum(F.when(F.col("h").bitwiseAND(bit(b)) != 0, 1)
+              .otherwise(-1)).alias(f"b{b}")
         for b in range(64)
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums)
     sim = F.lit(0).cast("long")
     for b in range(64):
-        sim = sim + F.when(F.col(f"b{b}") > 0,
-                           F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+        sim = sim + F.when(F.col(f"b{b}") > 0, bit(b)).otherwise(F.lit(0))
     return agg.select(id_col, sim.alias("simhash"))
 
 

@@ -40,8 +40,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                                    F.col(vec_col).alias("qvec")))
     scored = (corpus.crossJoin(q)
               .withColumn("cosine",
-                          F.round(cosine_expr(F.col(vec_col),
-                                              F.col("qvec")), 6)))
+                          cosine_expr(F.col(vec_col), F.col("qvec"))))
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"),
                                             F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
