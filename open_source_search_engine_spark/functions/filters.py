@@ -111,7 +111,13 @@ def rule_condition(rule: Rule) -> Column:
 
 def compile_rules(rules: tuple[Rule, ...]) -> Column:
     """→ struct(rule_idx, priority, spider_freq_days, ip_wait_ms,
-    ip_max_spiders, max_spiders, harvest_links, force_delete)."""
+    ip_max_spiders, max_spiders, harvest_links, force_delete).
+
+    NOTE: prefer ``with_rule_outputs`` below — it factors the shared
+    predicates into columns once and joins a broadcast 24-row dimension
+    for the outputs, keeping the expression small enough for whole-stage
+    codegen.  This struct variant is kept for small inputs / tests.
+    """
     def out_struct(idx: int, r: Rule) -> Column:
         return F.struct(
             F.lit(idx).alias("rule_idx"),
@@ -132,3 +138,79 @@ def compile_rules(rules: tuple[Rule, ...]) -> Column:
         else:
             expr = expr.when(cond, out_struct(idx, r))
     return expr.otherwise(out_struct(len(rules) - 1, rules[-1]))
+
+
+# ---------------------------------------------------------------------------
+# fast path: factored predicates + rule_idx when-chain + broadcast dim join
+# ---------------------------------------------------------------------------
+
+_SHARED_PRED_COLS = {
+    "ismedia": "_p_ismedia",
+    "isnew": "_p_isnew",
+    "hastmperror": "_p_tmperr",
+    "iswww": "_p_iswww",
+    "isroot": "_p_isroot",
+    "ismanualadd": "_p_manual",
+}
+
+
+def _term_col_fast(term) -> Column:
+    """Like _term_col but reads the precomputed shared-predicate columns."""
+    kw = term.keyword
+    if kw in _SHARED_PRED_COLS:
+        col = F.col(_SHARED_PRED_COLS[kw])
+        return (~col) if term.negate else col
+    return _term_col(term)
+
+
+def rule_idx_expr(rules: tuple[Rule, ...]) -> Column:
+    """First-match-wins rule index over the factored predicate columns."""
+    expr = None
+    for idx, r in enumerate(rules):
+        terms = parse_expression(r.expression)
+        if not terms:
+            cond = F.lit(True)
+        else:
+            cond = _term_col_fast(terms[0])
+            for t in terms[1:]:
+                cond = cond & _term_col_fast(t)
+        expr = F.when(cond, F.lit(idx)) if expr is None \
+            else expr.when(cond, F.lit(idx))
+    return expr.otherwise(F.lit(len(rules) - 1))
+
+
+def rules_dim(spark, rules: tuple[Rule, ...]):
+    """The rule table as a 1-row-per-rule broadcastable dimension."""
+    rows = [
+        (idx, r.priority, float(r.spider_freq_days), r.ip_wait_ms,
+         r.ip_max_spiders, r.max_spiders, bool(r.harvest_links),
+         bool(r.force_delete))
+        for idx, r in enumerate(rules)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rule_idx int, priority int, spider_freq_days double, "
+        "ip_wait_ms int, ip_max_spiders int, max_spiders int, "
+        "harvest_links boolean, force_delete boolean")
+
+
+def with_rule_outputs(df, spark, rules: tuple[Rule, ...]):
+    """Attach rule_idx + all rule outputs with one small codegen'd
+    when-chain and one broadcast hash join (the scale path: shared
+    predicates evaluated once per row, 24-row dim join is free)."""
+    out = (df
+           .withColumn("_p_ismedia", is_media_col(F.col("url")))
+           .withColumn("_p_isnew", ~F.col("has_reply"))
+           .withColumn("_p_tmperr",
+                       F.col("has_reply") &
+                       F.coalesce(F.col("err_code"), F.lit(0))
+                       .isin(list(TMP_ERRORS)))
+           .withColumn("_p_iswww", F.col("host").startswith("www."))
+           .withColumn("_p_isroot",
+                       F.col("url").rlike(r"^[a-z]+://[^/]+/$"))
+           .withColumn("_p_manual",
+                       F.col("is_addurl") | F.col("is_injected"))
+           .withColumn("rule_idx", rule_idx_expr(rules))
+           .drop(*_SHARED_PRED_COLS.values()))
+    dim = F.broadcast(rules_dim(spark, rules))
+    return out.join(dim, "rule_idx", "left")

@@ -31,6 +31,21 @@ def latest_per_key(df: DataFrame, key: str, order_col: str,
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
+def argmax_per_key(df: DataFrame, key: str, order_cols: list[str],
+                   desc: bool = True) -> DataFrame:
+    """latest/first row per key via groupBy + max_by/min_by instead of a
+    row_number window: hash aggregation with MAP-SIDE PARTIAL COMBINE, no
+    per-partition sort — the scale path for 'latest reply per uh48'.
+    Ordering ties resolved by lexicographic struct comparison over
+    order_cols."""
+    others = [c for c in df.columns if c != key]
+    ordk = F.struct(*[F.col(c) for c in order_cols])
+    pick = F.max_by if desc else F.min_by
+    agg = df.groupBy(key).agg(
+        pick(F.struct(*[F.col(c) for c in others]), ordk).alias("_r"))
+    return agg.select(key, *[F.col(f"_r.{c}").alias(c) for c in others])
+
+
 def topk_per_key(df: DataFrame, key: str, order_by: list[Column],
                  k: int, rank_col: str = "rank") -> DataFrame:
     w = Window.partitionBy(key).orderBy(*order_by)

