@@ -122,6 +122,16 @@ def frontier_sched_plan(spark, requests, replies, cfg=None):
                             * 1000.0).cast("long"))
                     .otherwise(F.lit(0))))
             .filter(F.col("spider_time_ms") <= F.lit(now_ms)))
+    # salted two-phase winner top-K: phase 1 ranks inside (ip, salt) and
+    # keeps K, bounding the hot-IP sort task (exact — the global per-IP
+    # top-K survives any salt split); phase 2 re-ranks the ≤16K survivors
+    w_salt = Window.partitionBy("first_ip", "_salt").orderBy(
+        F.desc(F.col("priority")), F.asc("hop_count"),
+        F.asc("spider_time_ms"), F.asc("uh48"))
+    cand = (cand.withColumn("_salt", F.pmod(F.col("uh48"), F.lit(16)))
+            .withColumn("_r1", F.row_number().over(w_salt))
+            .filter(F.col("_r1") <= winner_k)
+            .drop("_r1", "_salt"))
     w_ip = Window.partitionBy("first_ip").orderBy(
         F.desc(F.col("priority")), F.asc("hop_count"),
         F.asc("spider_time_ms"), F.asc("uh48"))
@@ -171,13 +181,40 @@ def run_frontier_bench(spark, n_rows: int) -> dict:
             "urls_per_sec": round(n_in / dt, 1)}
 
 
+def _run_level_subprocess(cpus: int, rows: int) -> dict:
+    """Run the frontier bench pinned to `cpus` PHYSICAL cores via taskset
+    in a fresh process — local[N] alone only limits task slots, the JVM's
+    shuffle/GC threads would still use every core and fake the scaling
+    numbers."""
+    import subprocess
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["OSSE_BENCH_FRONTIER"] = str(rows)
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+           os.path.abspath(__file__), "--frontier-only"]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         timeout=3600)
+    line = [ln for ln in out.stdout.strip().splitlines()
+            if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
 def main():
     scaling = "--scaling" in sys.argv
+    frontier_only = "--frontier-only" in sys.argv
     result = {}
+
+    if frontier_only:
+        spark = make_spark(CPUS)
+        r = run_frontier_bench(spark, FRONTIER_ROWS)
+        spark.stop()
+        print(json.dumps(r))
+        return
 
     spark = make_spark(CPUS)
     queries = run_headline(spark)
     fb = run_frontier_bench(spark, FRONTIER_ROWS)
+    spark.stop()
     result.update({
         "metric": "frontier_sched_urls_per_sec",
         "value": fb["urls_per_sec"],
@@ -191,24 +228,19 @@ def main():
     })
 
     if scaling:
-        spark.stop()
+        rows = int(os.environ.get("OSSE_SCALING_FRONTIER",
+                                  str(max(FRONTIER_ROWS, 8_000_000))))
         levels = [max(2, CPUS // 4), CPUS]
-        rates = {}
-        for cpus in levels:
-            s = make_spark(cpus)
-            r = run_frontier_bench(s, FRONTIER_ROWS)
-            rates[cpus] = r
-            s.stop()
+        rates = {c: _run_level_subprocess(c, rows) for c in levels}
         n, n4 = levels
         eff = (rates[n4]["urls_per_sec"] / rates[n]["urls_per_sec"]) \
             / (n4 / n)
         result["scaling"] = {
-            f"local[{n}]": rates[n],
-            f"local[{n4}]": rates[n4],
+            f"cores[{n}]": rates[n],
+            f"cores[{n4}]": rates[n4],
+            "scaling_rows": rows,
             "efficiency": round(eff, 3),
         }
-    else:
-        spark.stop()
 
     print(json.dumps(result))
 

@@ -1,0 +1,65 @@
+"""Plan-shape assertions: the scheduling hot path must stay JVM-side
+(north rule: no per-row Python in the hot path), filters must reach the
+scan, and the small joins must broadcast."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def sched_plan(spark):
+    import bench
+    from open_source_search_engine_spark.sources.frontier_gen import (
+        gen_frontier, gen_replies_for,
+    )
+    req = gen_frontier(spark, 10_000)
+    rep = gen_replies_for(req)
+    return bench.frontier_sched_plan(spark, req, rep)
+
+
+def test_no_python_in_scheduling_path(sched_plan):
+    plan = sched_plan._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"Python operator in hot path: {marker}"
+
+
+def test_rule_dim_is_broadcast(sched_plan):
+    plan = sched_plan._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_wholestage_codegen_present(sched_plan):
+    plan = sched_plan._jdf.queryExecution().executedPlan().toString()
+    assert "WholeStageCodegen" in plan
+
+
+def test_parquet_filter_pushdown(spark, tmp_path):
+    """Reading the frontier with an IP predicate must push the filter to
+    the parquet scan (partition pruning analog of the reference's per-IP
+    key-range reads, Spider.h:438)."""
+    from open_source_search_engine_spark.sources.frontier_gen import (
+        gen_frontier,
+    )
+    p = str(tmp_path / "front")
+    gen_frontier(spark, 20_000).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p).filter(F.col("first_ip") == 167772162) \
+        .select("url", "uh48")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "first_ip" in plan.split(
+        "PushedFilters")[1][:200]
+    # column pruning: scan schema excludes unused wide columns
+    scan = plan.split("ReadSchema")[1][:400]
+    assert "hop_count" not in scan
+
+
+def test_extraction_is_arrow_batched(spark):
+    """The extraction tier (cold path, runs on <= budget rows) must use
+    Arrow-batched pandas UDFs, not row-at-a-time Python UDFs."""
+    from open_source_search_engine_spark.functions import udfs
+    df = spark.createDataFrame([("<p>x</p>", "http://a.com/")],
+                               ["html", "url"])
+    out = df.withColumn("t", udfs.get_text_udf(F.col("html")))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
