@@ -31,7 +31,8 @@ def test_rule_dim_is_broadcast(sched_plan):
 
 def test_wholestage_codegen_present(sched_plan):
     plan = sched_plan._jdf.queryExecution().executedPlan().toString()
-    assert "WholeStageCodegen" in plan
+    # AQE plan strings mark codegen stages as "*(n)"
+    assert "WholeStageCodegen" in plan or "*(" in plan
 
 
 def test_parquet_filter_pushdown(spark, tmp_path):
