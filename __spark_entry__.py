@@ -302,6 +302,55 @@ def q_cosine_topk(spark, sf_dir):
                       _r6(F.col("cosine")).alias("cosine"), "rank")
 
 
+# ---------------------------------------------------------------------------
+# query-serving tier (SURVEY §3.2: posdb build → boolean query → scoring →
+# top-k → clustering) over documents
+# ---------------------------------------------------------------------------
+
+_QTERMS = ["data", "query"]
+
+
+def q_postings(spark, sf_dir):
+    """Posdb build: (term, doc_id, tf, first_pos) over a doc slice."""
+    from open_source_search_engine_spark.plans.search import build_postings
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return build_postings(docs, split_pattern=" ")
+
+
+def q_search_and(spark, sf_dir):
+    """Posting-list intersection (query AND, intersectLists10_r)."""
+    from open_source_search_engine_spark.plans.search import (
+        and_query, build_postings,
+    )
+    p = build_postings(_docs(spark, sf_dir), split_pattern=" ")
+    return and_query(p, _QTERMS)
+
+
+def q_search_topk(spark, sf_dir):
+    """Full /search pipeline: AND → tf-idf score → top-10 + doc join."""
+    from open_source_search_engine_spark.plans.search import (
+        and_query, build_postings, score,
+    )
+    docs = _docs(spark, sf_dir)
+    p = build_postings(docs, split_pattern=" ")
+    matched = and_query(p, _QTERMS)
+    scored = score(matched, p, _QTERMS, docs.count())
+    return (scored.join(docs.select("doc_id", "lang"), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+            .select("doc_id", _r6(F.col("score")).alias("score"), "lang"))
+
+
+def q_search_facets(spark, sf_dir):
+    """gbfacetstr: facet counts over the AND-matched result set."""
+    from open_source_search_engine_spark.plans.search import (
+        and_query, build_postings, facet_counts,
+    )
+    docs = _docs(spark, sf_dir)
+    p = build_postings(docs, split_pattern=" ")
+    return facet_counts(and_query(p, _QTERMS).select("doc_id"), docs,
+                        "lang")
+
+
 # ---- Spark-only entries (no practical ANSI-SQL oracle; driver records a
 # rows-only check) ----------------------------------------------------------
 
@@ -397,6 +446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
+        "postings": q_postings,
+        "search_and": q_search_and,
+        "search_topk": q_search_topk,
+        "search_facets": q_search_facets,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
@@ -578,6 +631,81 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings c, embeddings q
                 WHERE q.vec_id < 3 AND c.vec_id >= 3)
             WHERE rank <= 5
+        """,
+        "postings": """
+            SELECT term, doc_id, count(*) AS tf,
+                   CAST(min(idx - 1) AS INT) AS first_pos
+            FROM (SELECT doc_id,
+                         unnest(string_split(lower(text), ' ')) AS term,
+                         generate_subscripts(
+                             string_split(lower(text), ' '), 1) AS idx
+                  FROM documents WHERE doc_id < 50)
+            WHERE length(term) > 0
+            GROUP BY term, doc_id
+        """,
+        "search_and": """
+            WITH p AS (
+              SELECT term, doc_id, count(*) AS tf,
+                     min(idx - 1) AS first_pos
+              FROM (SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS term,
+                           generate_subscripts(
+                               string_split(lower(text), ' '), 1) AS idx
+                    FROM documents)
+              WHERE length(term) > 0 GROUP BY term, doc_id)
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS sum_tf,
+                   CAST(min(first_pos) AS INT) AS best_pos
+            FROM p WHERE term IN ('data', 'query')
+            GROUP BY doc_id
+            HAVING count(DISTINCT term) = 2
+        """,
+        "search_topk": """
+            WITH p AS (
+              SELECT term, doc_id, count(*) AS tf,
+                     min(idx - 1) AS first_pos
+              FROM (SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS term,
+                           generate_subscripts(
+                               string_split(lower(text), ' '), 1) AS idx
+                    FROM documents)
+              WHERE length(term) > 0 GROUP BY term, doc_id),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            matched AS (
+              SELECT doc_id, min(first_pos) AS best_pos FROM p
+              WHERE term IN ('data', 'query') GROUP BY doc_id
+              HAVING count(DISTINCT term) = 2),
+            stats AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM p
+              WHERE term IN ('data', 'query') GROUP BY term),
+            w AS (
+              SELECT p.doc_id,
+                     sum(p.tf * ln(CAST(n.n_docs AS DOUBLE) / s.df))
+                         AS tfidf
+              FROM p JOIN stats s ON p.term = s.term CROSS JOIN n
+              WHERE p.term IN ('data', 'query') GROUP BY p.doc_id)
+            SELECT m.doc_id,
+                   floor((w.tfidf + 1.0 / (1.0 + m.best_pos)) * 1e6) / 1e6
+                       AS score,
+                   d.lang
+            FROM matched m JOIN w ON m.doc_id = w.doc_id
+            JOIN documents d ON d.doc_id = m.doc_id
+            ORDER BY (w.tfidf + 1.0 / (1.0 + m.best_pos)) DESC,
+                     m.doc_id ASC
+            LIMIT 10
+        """,
+        "search_facets": """
+            WITH p AS (
+              SELECT term, doc_id
+              FROM (SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS term
+                    FROM documents)
+              WHERE length(term) > 0),
+            matched AS (
+              SELECT doc_id FROM p WHERE term IN ('data', 'query')
+              GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+            SELECT d.lang, count(*) AS n
+            FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+            GROUP BY d.lang
         """,
         # minhash_lsh / simhash / lsh_ann / crawl_round_schedule:
         # intentionally omitted — xxhash64-based signatures and the full

@@ -1,0 +1,93 @@
+"""Query-serving tier tests (plans/search.py): boolean ops, scoring,
+clustering, dedup — SURVEY §3.2."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "spark data query engine fast data", "en", "siteA"),
+        (1, "data query planner", "en", "siteA"),
+        (2, "data only here", "en", "siteB"),
+        (3, "query only here", "de", "siteB"),
+        (4, "nothing relevant", "en", "siteC"),
+        (5, "data query data query data query", "de", "siteC"),
+        (6, "data query planner", "en", "siteD"),  # content dup of 1
+    ]
+    return spark.createDataFrame(rows,
+                                 ["doc_id", "text", "lang", "site"])
+
+
+@pytest.fixture(scope="module")
+def postings(corpus):
+    from open_source_search_engine_spark.plans.search import build_postings
+    return build_postings(corpus, split_pattern=" ").cache()
+
+
+def test_postings_positions(postings):
+    rows = {(r.term, r.doc_id): (r.tf, r.first_pos)
+            for r in postings.collect()}
+    assert rows[("data", 0)] == (2, 1)
+    assert rows[("spark", 0)] == (1, 0)
+    assert rows[("query", 5)] == (3, 1)
+
+
+def test_and_query(postings):
+    from open_source_search_engine_spark.plans.search import and_query
+    got = {r.doc_id for r in and_query(postings,
+                                       ["data", "query"]).collect()}
+    assert got == {0, 1, 5, 6}
+
+
+def test_or_and_not(postings):
+    from open_source_search_engine_spark.plans.search import (
+        and_query, not_filter, or_query,
+    )
+    got = {r.doc_id for r in or_query(postings,
+                                      ["data", "query"]).collect()}
+    assert got == {0, 1, 2, 3, 5, 6}
+    m = and_query(postings, ["data", "query"])
+    got2 = {r.doc_id for r in
+            not_filter(m, postings, ["planner"]).collect()}
+    assert got2 == {0, 5}
+
+
+def test_scoring_orders_by_tf(corpus, postings):
+    from open_source_search_engine_spark.plans.search import (
+        and_query, score,
+    )
+    m = and_query(postings, ["data", "query"])
+    s = score(m, postings, ["data", "query"], corpus.count())
+    ranked = [r.doc_id for r in
+              s.orderBy(F.desc("score"), F.asc("doc_id")).collect()]
+    assert ranked[0] == 5  # highest combined tf
+
+
+def test_search_pipeline_clustering_and_dedup(corpus, postings):
+    from open_source_search_engine_spark.plans.search import search
+    out = search(corpus, postings, ["data", "query"], k=10,
+                 site_col="site", cluster_per_site=1,
+                 dedup_content=True)
+    rows = out.collect()
+    # content dup (1 vs 6) collapsed; one per site
+    sites = [r.site for r in rows]
+    assert len(sites) == len(set(sites))
+    ids = {r.doc_id for r in rows}
+    assert not {1, 6} <= ids  # dup pair collapsed to one
+
+
+def test_lang_filter(corpus, postings):
+    from open_source_search_engine_spark.plans.search import search
+    out = search(corpus, postings, ["data", "query"], k=10, lang="de")
+    assert {r.doc_id for r in out.collect()} == {5}
+
+
+def test_facets(corpus, postings):
+    from open_source_search_engine_spark.plans.search import (
+        and_query, facet_counts,
+    )
+    m = and_query(postings, ["data", "query"]).select("doc_id")
+    out = {r.lang: r.n for r in facet_counts(m, corpus, "lang").collect()}
+    assert out == {"en": 3, "de": 1}
