@@ -59,6 +59,7 @@ class CrawlConfig:
     rules: tuple = urlfilter.DEFAULT_WEB_PROFILE
     rounds: int = 5
     t0_ms: int = 1_600_000_000_000
+    use_bloom: bool = False  # C5 pre-filter routing (parity-neutral)
 
 
 @dataclass

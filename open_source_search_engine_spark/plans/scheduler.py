@@ -322,11 +322,28 @@ class CrawlDriver:
         # dedup within batch: first discovery in (parent seq, link order)
         w_new = Window.partitionBy("uh48").orderBy("seq", "link_idx")
         seen = requests.select("uh48").distinct()
-        new_requests = (
+        deduped = (
             exploded
             .withColumn("_rn", F.row_number().over(w_new))
             .filter(F.col("_rn") == 1)
-            .join(seen, "uh48", "left_anti")  # exact URL-seen anti-join
+        )
+        if getattr(cfg, "use_bloom", False):
+            # C5 bloom pre-filter: definitely-new urls skip the (large)
+            # exact anti-join shuffle; maybe-seen go through it. Routing
+            # only — the final membership decision is always exact, so
+            # crawl-order parity is unaffected.
+            from ..operators.urlseen import bloom_maybe_seen, build_bloom
+            bloom = build_bloom(seen, bucket_bits=4)
+            routed = bloom_maybe_seen(deduped, bloom, bucket_bits=4)
+            definitely_new = routed.filter(~F.col("maybe_seen")) \
+                .drop("maybe_seen")
+            maybe = (routed.filter(F.col("maybe_seen")).drop("maybe_seen")
+                     .join(seen, "uh48", "left_anti"))
+            deduped = definitely_new.unionByName(maybe)
+        else:
+            deduped = deduped.join(seen, "uh48", "left_anti")
+        new_requests = (
+            deduped
             .join(F.broadcast(self.hostmeta.select("host", "first_ip")),
                   "host", "inner")  # unknown host = DNS failure
             .withColumn("parent_domain", udfs.domain_udf(
