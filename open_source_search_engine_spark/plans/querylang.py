@@ -1,0 +1,174 @@
+"""The query language: Gigablast's search-syntax surface compiled onto the
+search plans.
+
+Reference: Query.cpp (5,751 LoC parser), field table Query.h:69-110, boolean
+ops OP_AND/OP_OR/OP_NOT Query.h:182-184, special operators
+``gbsortby:/gbsortbyint:/gbfacetstr:/gbmin:/gbmax:`` Query.cpp:2555-2613.
+
+Grammar (subset matching the reference's default behaviour):
+- bare terms           → AND-ed (default AND semantics)
+- ``"quoted phrase"``  → consecutive-position phrase match
+- ``-term``            → NOT
+- ``term1 OR term2``   → union groups
+- ``lang:xx``          → document-field restriction (also site:, url:)
+- ``gbsortby:field``   → sort override
+- ``gbfacetstr:field`` → return facet counts instead of results
+- ``~term``            → synonym expansion via a broadcast dictionary (G6)
+
+``compile_query`` parses to a ``ParsedQuery``; ``run_query`` executes it
+against (docs, postings) with the plans in plans/search.py.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import search as S
+
+FIELD_RE = re.compile(r"^([a-z]+):(.+)$")
+
+DEFAULT_SYNONYMS = {
+    "fast": ["quick", "rapid"],
+    "quick": ["fast"],
+    "big": ["large", "huge"],
+    "data": ["information"],
+}
+
+
+@dataclass
+class ParsedQuery:
+    and_groups: list[list[str]] = field(default_factory=list)
+    # each group is OR-ed internally; groups AND-ed together
+    not_terms: list[str] = field(default_factory=list)
+    phrases: list[list[str]] = field(default_factory=list)
+    fields: dict[str, str] = field(default_factory=dict)
+    sort_by: str | None = None
+    facet_by: str | None = None
+
+
+def parse(q: str, synonyms: dict[str, list[str]] | None = None
+          ) -> ParsedQuery:
+    syn = DEFAULT_SYNONYMS if synonyms is None else synonyms
+    pq = ParsedQuery()
+    # phrases first
+    for m in re.finditer(r'"([^"]+)"', q):
+        pq.phrases.append(m.group(1).lower().split())
+    q = re.sub(r'"[^"]+"', " ", q)
+    tokens = q.split()
+    i = 0
+    pending_or: list[str] | None = None
+    while i < len(tokens):
+        tok = tokens[i]
+        low = tok.lower()
+        if low == "or":
+            i += 1
+            continue
+        if tok.startswith("-") and len(tok) > 1:
+            pq.not_terms.append(tok[1:].lower())
+            i += 1
+            continue
+        fm = FIELD_RE.match(low)
+        if fm:
+            key, val = fm.groups()
+            if key == "gbsortby":
+                pq.sort_by = val
+            elif key == "gbfacetstr":
+                pq.facet_by = val
+            else:
+                pq.fields[key] = val
+            i += 1
+            continue
+        terms = [low]
+        if tok.startswith("~"):
+            base = low[1:]
+            terms = [base] + syn.get(base, [])
+        # OR-chaining: a OR b OR c into one group
+        if i + 1 < len(tokens) and tokens[i + 1].lower() == "or":
+            if pending_or is None:
+                pending_or = []
+            pending_or.extend(terms)
+            i += 2
+            # continue collecting into the same group
+            if i < len(tokens):
+                continue
+            pq.and_groups.append(pending_or)
+            pending_or = None
+            continue
+        if pending_or is not None:
+            pending_or.extend(terms)
+            pq.and_groups.append(pending_or)
+            pending_or = None
+            i += 1
+            continue
+        pq.and_groups.append(terms)
+        i += 1
+    if pending_or:
+        pq.and_groups.append(pending_or)
+    return pq
+
+
+def _phrase_match(postings: DataFrame, docs: DataFrame,
+                  phrase: list[str], text_col: str = "text") -> DataFrame:
+    """Docs containing the exact phrase: cheap candidate check via AND on
+    the terms, then a substring verify on the text (the reference verifies
+    phrases with positional pairs; substring over the normalized text is
+    the batch equivalent)."""
+    cand = S.and_query(postings, phrase).select("doc_id")
+    needle = " " + " ".join(phrase) + " "
+    return (cand.join(docs, "doc_id")
+            .filter(F.concat(F.lit(" "),
+                             F.lower(F.col(text_col)),
+                             F.lit(" ")).contains(needle))
+            .select("doc_id"))
+
+
+def run_query(q: str, docs: DataFrame, postings: DataFrame, k: int = 10,
+              synonyms: dict[str, list[str]] | None = None) -> DataFrame:
+    pq = parse(q, synonyms)
+    matched: DataFrame | None = None
+    all_terms: list[str] = []
+    for group in pq.and_groups:
+        all_terms.extend(group)
+        g = S.or_query(postings, group).select("doc_id")
+        matched = g if matched is None else matched.join(g, "doc_id")
+    for phrase in pq.phrases:
+        all_terms.extend(phrase)
+        ph = _phrase_match(postings, docs, phrase)
+        matched = ph if matched is None else matched.join(ph, "doc_id")
+    if matched is None:
+        matched = docs.select("doc_id")
+    if pq.not_terms:
+        matched = S.not_filter(matched, postings, pq.not_terms)
+    # field restrictions on the doc table
+    enriched = matched.join(docs, "doc_id")
+    for key, val in pq.fields.items():
+        if key in docs.columns:
+            enriched = enriched.filter(F.lower(F.col(key)) == val)
+        elif key == "url" and "url" in docs.columns:
+            enriched = enriched.filter(F.col("url").contains(val))
+    if pq.facet_by:
+        return (enriched.groupBy(pq.facet_by)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), F.asc(pq.facet_by)))
+    # scoring
+    matched2 = enriched.select("doc_id").distinct()
+    if all_terms:
+        n_docs = docs.count()
+        per_term = S.and_query(postings, [])  # placeholder not used
+        base = (postings.filter(F.col("term").isin(all_terms))
+                .groupBy("doc_id")
+                .agg(F.sum("tf").alias("sum_tf"),
+                     F.min("first_pos").alias("best_pos")))
+        scored = S.score(matched2.join(base, "doc_id"), postings,
+                         all_terms, n_docs)
+    else:
+        scored = matched2.withColumn("score", F.lit(0.0)) \
+            .withColumn("best_pos", F.lit(0))
+    out = scored.join(docs, "doc_id")
+    if pq.sort_by and pq.sort_by in docs.columns:
+        return out.orderBy(F.desc(pq.sort_by), F.asc("doc_id")).limit(k)
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

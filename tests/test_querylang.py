@@ -1,0 +1,86 @@
+"""Query-language tests (plans/querylang.py): parsing + execution of the
+Query.h operator surface."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.plans.querylang import parse, run_query
+
+
+def test_parse_basics():
+    pq = parse('data query -spam lang:de gbsortby:n_chars "fast engine"')
+    assert pq.and_groups == [["data"], ["query"]]
+    assert pq.not_terms == ["spam"]
+    assert pq.fields == {"lang": "de"}
+    assert pq.sort_by == "n_chars"
+    assert pq.phrases == [["fast", "engine"]]
+
+
+def test_parse_or_and_synonyms():
+    pq = parse("alpha OR beta gamma")
+    assert pq.and_groups == [["alpha", "beta"], ["gamma"]]
+    pq2 = parse("~fast engine")
+    assert pq2.and_groups[0] == ["fast", "quick", "rapid"]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the fast engine runs data pipelines", "en", 36),
+        (1, "a quick engine processes data", "en", 29),
+        (2, "slow data processing spam", "en", 25),
+        (3, "fast engine fast engine", "de", 23),
+        (4, "unrelated words entirely", "en", 24),
+    ]
+    return spark.createDataFrame(rows,
+                                 ["doc_id", "text", "lang", "n_chars"])
+
+
+@pytest.fixture(scope="module")
+def postings(corpus):
+    from open_source_search_engine_spark.plans.search import build_postings
+    return build_postings(corpus, split_pattern=" ").cache()
+
+
+def test_and_with_not(corpus, postings):
+    out = run_query("data -spam", corpus, postings)
+    assert {r.doc_id for r in out.collect()} == {0, 1}
+
+
+def test_or_groups(corpus, postings):
+    out = run_query("fast OR quick engine", corpus, postings)
+    assert {r.doc_id for r in out.collect()} == {0, 1, 3}
+
+
+def test_synonym_expansion(corpus, postings):
+    out = run_query("~fast engine", corpus, postings)
+    # 'fast' expands to quick/rapid → doc 1 matches too
+    assert {r.doc_id for r in out.collect()} == {0, 1, 3}
+
+
+def test_field_restriction(corpus, postings):
+    out = run_query("fast engine lang:de", corpus, postings)
+    assert {r.doc_id for r in out.collect()} == {3}
+
+
+def test_phrase(corpus, postings):
+    out = run_query('"fast engine"', corpus, postings)
+    assert {r.doc_id for r in out.collect()} == {0, 3}
+    # "engine fast" occurs consecutively only in doc 3
+    # ("fast engine fast engine")
+    out2 = run_query('"engine fast"', corpus, postings)
+    assert {r.doc_id for r in out2.collect()} == {3}
+    out3 = run_query('"runs quick"', corpus, postings)
+    assert {r.doc_id for r in out3.collect()} == set()
+
+
+def test_gbsortby(corpus, postings):
+    rows = run_query("engine gbsortby:n_chars", corpus, postings).collect()
+    assert [r.doc_id for r in rows][0] == 0  # longest n_chars first
+
+
+def test_gbfacetstr(corpus, postings):
+    out = {r.lang: r.n for r in
+           run_query("engine gbfacetstr:lang", corpus,
+                     postings).collect()}
+    assert out == {"en": 2, "de": 1}
