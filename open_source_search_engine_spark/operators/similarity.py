@@ -68,6 +68,88 @@ def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def kmeans_centroids(corpus: DataFrame, n_clusters: int = 16,
+                     vec_col: str = "embedding", iters: int = 3,
+                     seed: int = 42) -> list[list[float]]:
+    """Distributed Lloyd's iterations: Arrow-batched assignment (NumPy
+    matmul per batch), element-wise centroid update via posexplode +
+    groupBy(cluster, dim).avg — centroids (k×dim, tiny) round-trip through
+    the driver each iteration like any broadcast model state."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    first = corpus.select(vec_col).first()
+    dim = len(first[0])
+    rng = np.random.default_rng(seed)
+    centroids = rng.standard_normal((n_clusters, dim))
+
+    for _ in range(iters):
+        C = centroids.copy()
+
+        @pandas_udf(T.IntegerType())
+        def assign(vecs):
+            M = np.array(vecs.tolist(), dtype=np.float64)
+            d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d.argmin(axis=1).astype("int32"))
+
+        assigned = corpus.withColumn("_c", assign(F.col(vec_col)))
+        sums = (assigned
+                .select("_c", F.posexplode(vec_col).alias("_d", "_v"))
+                .groupBy("_c", "_d")
+                .agg(F.avg("_v").alias("m"))
+                .collect())
+        for row in sums:
+            centroids[row["_c"], row["_d"]] = row["m"]
+    return centroids.tolist()
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             qid_col: str = "qid", n_clusters: int = 16, nprobe: int = 4,
+             centroids: list[list[float]] | None = None,
+             seed: int = 42) -> DataFrame:
+    """IVF ANN: assign corpus to its nearest centroid (the inverted-file
+    partition key), probe the ``nprobe`` nearest cells per query, score
+    only those cells' vectors.  At scale the corpus assignment is a
+    one-time materialized column and the search shuffles on cell id."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, n_clusters, vec_col,
+                                     seed=seed)
+    C = np.array(centroids, dtype=np.float64)
+
+    @pandas_udf(T.IntegerType())
+    def assign1(vecs):
+        M = np.array(vecs.tolist(), dtype=np.float64)
+        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vecs):
+        M = np.array(vecs.tolist(), dtype=np.float64)
+        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    cells = corpus.withColumn("cell", assign1(F.col(vec_col)))
+    q = (queries.select(qid_col, F.col(vec_col).alias("qvec"))
+         .withColumn("cell", F.explode(probe_cells(F.col("qvec")))))
+    scored = (cells.join(F.broadcast(q), "cell")
+              .withColumn("cosine",
+                          F.round(cosine_expr(F.col(vec_col),
+                                              F.col("qvec")), 6)))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, id_col, "cosine", "rank"))
+
+
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  qid_col: str = "qid", n_planes: int = 8,

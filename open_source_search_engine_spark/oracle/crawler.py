@@ -101,6 +101,9 @@ class OracleState:
     url_seen: dict = field(default_factory=dict)  # uh48 → first_seen_round
     schedule: list = field(default_factory=list)  # (round, seq, url, ...)
     metrics: list = field(default_factory=list)
+    # F3: uh48 → set of parent C-blocks (ip>>8), capped at 20 at eval time
+    # (Spider.cpp:4290-4332)
+    inlink_cblocks: dict = field(default_factory=dict)
 
 
 class OracleCrawler:
@@ -178,7 +181,9 @@ class OracleCrawler:
                      same_host=rq.same_host,
                      parent_is_rss=rq.parent_is_rss,
                      parent_is_sitemap=rq.parent_is_sitemap,
-                     page_num_inlinks=rq.page_num_inlinks,
+                     page_num_inlinks=min(
+                         20, len(self.state.inlink_cblocks.get(rq.uh48,
+                                                               ()))),
                      tld=urlnorm.get_tld(rq.host)),
                 None if rep is None else dict(
                     err_code=rep.err_code, err_count=rep.err_count,
@@ -257,8 +262,16 @@ class OracleCrawler:
                     for ln in links:
                         if ln.nofollow:
                             continue
-                        if gbhash.uh48(ln.url) == uh:
+                        luh = gbhash.uh48(ln.url)
+                        if luh == uh:
                             continue  # self link
+                        # F3: record parent C-block for every surviving
+                        # link (known hosts only — DNS-fail analog), even
+                        # when the url was already seen
+                        lhost = urlnorm.get_host(ln.url)
+                        if lhost in self.hostmeta:
+                            self.state.inlink_cblocks.setdefault(
+                                luh, set()).add(rq.first_ip >> 8)
                         if self.add_request(
                                 ln.url, hop=rq.hop_count + 1,
                                 added_ms=ftime, rnd=rnd,

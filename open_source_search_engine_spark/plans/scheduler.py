@@ -91,6 +91,7 @@ class CrawlDriver:
         self.t_replies = SnapshotTable(os.path.join(workdir, "replies"))
         self.t_ip_state = SnapshotTable(os.path.join(workdir, "ip_state"))
         self.t_schedule = SnapshotTable(os.path.join(workdir, "schedule"))
+        self.t_inlinks = SnapshotTable(os.path.join(workdir, "inlinks"))
         self.t_metrics = SnapshotTable(os.path.join(workdir, "metrics"))
         self.pages = spark.read.parquet(pages_path)
         self.hostmeta = spark.read.parquet(hostmeta_path)
@@ -185,9 +186,25 @@ class CrawlDriver:
                     *[F.col(f"_r.{c}").alias(c) for c in req_others])
         )
 
+        # ---- F3: per-url inlink count = distinct parent C-blocks, cap 20
+        # (Spider.cpp:4290-4332); counts as of round start
+        inlinks = self.t_inlinks.read(self.spark)
+        if inlinks is None:
+            inlinks = self.spark.createDataFrame(
+                [], "uh48 long, parent_cblock long")
+        inlink_counts = (inlinks.groupBy("uh48")
+                         .agg(F.least(F.countDistinct("parent_cblock"),
+                                      F.lit(20)).cast("int")
+                              .alias("_n_inlinks")))
+
         # ---- 3. rule table (compiled F.when chain) --------------------
         cand = (
-            req.join(latest_reply, "uh48", "left")
+            req.drop("page_num_inlinks")
+            .join(inlink_counts, "uh48", "left")
+            .withColumn("page_num_inlinks",
+                        F.coalesce("_n_inlinks", F.lit(0)))
+            .drop("_n_inlinks")
+            .join(latest_reply, "uh48", "left")
             .withColumn("has_reply", F.col("last_spidered_ms").isNotNull())
             .withColumn("tld", udfs.tld_udf(F.col("host")))
             .withColumn("lang", F.coalesce("reply_lang", F.lit("")))
@@ -311,6 +328,7 @@ class CrawlDriver:
                     F.col("uh48").alias("parent_uh48"),
                     F.col("host").alias("parent_host"),
                     F.col("hop_count").alias("parent_hop"),
+                    F.col("first_ip").alias("parent_ip"),
                     F.col("fetch_time_ms"), F.col("seq"),
                     F.posexplode("links").alias("link_idx", "link"))
             .filter(~F.col("link.nofollow"))
@@ -319,6 +337,18 @@ class CrawlDriver:
             .filter(F.col("uh48") != F.col("parent_uh48"))  # self link
             .withColumn("host", udfs.host_udf(F.col("url")))
         )
+        # F3: record (uh48, parent C-block) for every surviving link whose
+        # host resolves — including already-seen urls (spiderdb accumulates
+        # one SpiderRequest per parent; we accumulate the count table)
+        new_inlinks = (
+            exploded
+            .join(F.broadcast(self.hostmeta.select("host")), "host",
+                  "inner")
+            .select("uh48",
+                    F.shiftright(F.col("parent_ip"), 8)
+                    .alias("parent_cblock"))
+        )
+
         # dedup within batch: first discovery in (parent seq, link order)
         w_new = Window.partitionBy("uh48").orderBy("seq", "link_idx")
         seen = requests.select("uh48").distinct()
@@ -381,6 +411,10 @@ class CrawlDriver:
 
         self.t_replies.append(new_replies,
                               {"round": rnd, "rows": n_sched})
+        n_inl = new_inlinks.count()
+        if n_inl > 0:
+            self.t_inlinks.append(new_inlinks, {"round": rnd,
+                                                "rows": n_inl})
         if n_new > 0:
             self.t_requests.append(new_requests,
                                    {"round": rnd, "rows": n_new})

@@ -60,9 +60,11 @@ def make_hostmeta(n_hosts: int, seed: int = 42) -> pd.DataFrame:
     for i in range(n_hosts):
         host = f"www.host{i:03d}.com" if i % 3 == 0 else f"host{i:03d}.com"
         if i < 5:
-            ip = 0x0A000001  # hot IP 10.0.0.1
+            ip = 0x0A000101  # hot IP 10.0.1.1
         else:
-            ip = 0x0A000000 + 1 + (i - 5) // 4 + 1
+            # one /24 per IP so parent C-block inlink counting
+            # (Spider.cpp:4290) sees distinct blocks
+            ip = 0x0A000001 + ((2 + (i - 5) // 4) << 8)
         tmpl = ROBOTS_TEMPLATES[i % len(ROBOTS_TEMPLATES)]
         rows.append({
             "host": host,

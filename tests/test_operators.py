@@ -198,3 +198,26 @@ def test_salted_topk_matches_plain(spark):
     a = sorted((r.key, r.v) for r in plain.collect())
     b = sorted((r.key, r.v) for r in salted.collect())
     assert a == b
+
+
+def test_ivf_ann(spark):
+    from open_source_search_engine_spark.operators.similarity import (
+        brute_force_topk, ivf_topk,
+    )
+    import numpy as np
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((120, 12))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(10, 120)],
+        ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(2)],
+        ["qid", "embedding"])
+    out = ivf_topk(corpus, queries, k=5, n_clusters=4, nprobe=4)
+    rows = out.collect()
+    assert {r.qid for r in rows} == {0, 1}
+    # nprobe == n_clusters probes every cell → must equal brute force
+    exact = brute_force_topk(corpus, queries, k=5)
+    a = sorted((r.qid, r.rank, r.vec_id) for r in rows)
+    b = sorted((r.qid, r.rank, r.vec_id) for r in exact.collect())
+    assert a == b
