@@ -83,6 +83,8 @@ def _term_col(term) -> Column:
         col = F.col(field).isin((term.value or "").split(","))
     elif kw == "tld":
         col = F.col("tld").isin((term.value or "").split(","))
+    elif kw == "matchesucp":
+        col = F.col("url").rlike(term.value or "")
     elif kw in _BOOL_COLS:
         col = F.col(_BOOL_COLS[kw]).cast("boolean")
         col = F.coalesce(col, F.lit(False))

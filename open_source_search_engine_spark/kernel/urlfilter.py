@@ -188,6 +188,11 @@ def evaluate_term(term: Term, ctx: dict) -> bool:
     elif kw == "tld":
         vals = set((term.value or "").split(","))
         result = ctx.get("tld", "") in vals
+    elif kw == "matchesucp":
+        # per-collection URL regex rows (Spider.cpp:11687-11722); value is
+        # the POSIX regex
+        import re as _re
+        result = bool(_re.search(term.value or "", ctx.get("url", "")))
     elif kw in _BOOL_KEYS:
         result = bool(ctx.get(_BOOL_KEYS[kw]))
     elif kw in _NUMERIC_KEYS:

@@ -171,6 +171,10 @@ class OracleCrawler:
         # 3-6. evaluate + politeness + due + winners per IP
         per_ip: dict[int, list] = {}
         for rq in by_uh.values():
+            # B1 corruption filter: reject far-future added times
+            # (Spider.cpp:4495-4512)
+            if rq.added_time_ms > now_ms + 86_400_000:
+                continue
             rep = latest.get(rq.uh48)
             ctx = urlfilter.build_context(
                 dict(url=rq.url, host=rq.host, hop_count=rq.hop_count,

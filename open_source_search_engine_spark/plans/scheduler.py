@@ -199,7 +199,12 @@ class CrawlDriver:
 
         # ---- 3. rule table (compiled F.when chain) --------------------
         cand = (
-            req.drop("page_num_inlinks")
+            req
+            # B1 corruption filter: reject far-future added times
+            # (Spider.cpp:4495-4512)
+            .filter(F.col("added_time_ms") <=
+                    F.lit(now_ms + 86_400_000))
+            .drop("page_num_inlinks")
             .join(inlink_counts, "uh48", "left")
             .withColumn("page_num_inlinks",
                         F.coalesce("_n_inlinks", F.lit(0)))
