@@ -170,6 +170,12 @@ def run_frontier_bench(spark, n_rows: int) -> dict:
     # one warmup execution (JIT + codegen compile) — a production crawl
     # runs thousands of rounds, so steady-state is the honest number
     frontier_sched_plan(spark, requests, replies).count()
+    # drop the warmup's budget_select cache (keep the persisted inputs)
+    spark.catalog.clearCache()
+    requests = requests.persist()
+    replies = replies.persist()
+    requests.count()
+    replies.count()
     t = time.time()
     out = frontier_sched_plan(spark, requests, replies)
     n_sched = out.count()
