@@ -140,17 +140,19 @@ def _is_session_hex_run(s: str) -> bool:
     return non_num > 0 and count >= 12
 
 
-def _punycode_label(label: str) -> str:
+def _punycode_label(label: str) -> str | None:
     """Encode one non-ASCII host label like the reference (utf-8 decode with
-    latin-1 fallback, punycode, xn-- prefix)."""
+    latin-1 fallback, punycode, xn-- prefix).  Returns None when encoding
+    fails or yields bad url chars — the reference then drops the label
+    (Url.cpp:268-276 'don't need the xn--' branch)."""
     try:
         enc = label.encode("punycode").decode("ascii")
-    except UnicodeError:
-        return label
+    except (UnicodeError, RecursionError):
+        return None
     if not enc:
-        return label
+        return None
     if any(c in _SPACE for c in enc):
-        return label
+        return None
     return "xn--" + enc
 
 
@@ -177,7 +179,13 @@ def _encode_nonascii(u: str) -> str:
             else:
                 out.append(label)
             continue
-        out.append(_punycode_label(label))
+        enc = _punycode_label(label)
+        if enc is None:
+            # drop the unencodable label and its separator
+            if p < n:
+                p += 1
+            continue
+        out.append(enc)
         if p < n:
             out.append(u[p])
             p += 1
@@ -314,6 +322,7 @@ def canonicalize(
     strip_session_id: bool = True,
     strip_pound: bool = True,
     strip_common_file: bool = False,
+    _depth: int = 0,
 ) -> str:
     """Full ``Url::set`` normalization; returns '' for unusable input.
 
@@ -344,9 +353,11 @@ def canonicalize(
             cut = idx
             break
     if non_ascii != -1:
+        if _depth >= 2:  # encoder must converge in one pass; give up like
+            return ""    # the reference's 'Bad Engineer' bail-out
         return canonicalize(
             _encode_nonascii(t), add_www, strip_session_id, strip_pound,
-            strip_common_file,
+            strip_common_file, _depth + 1,
         )
     t = t[:cut]
     # collapse http://http://
