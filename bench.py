@@ -237,7 +237,15 @@ def main():
         rows = int(os.environ.get("OSSE_SCALING_FRONTIER",
                                   str(max(FRONTIER_ROWS, 8_000_000))))
         levels = [max(2, CPUS // 4), CPUS]
-        rates = {c: _run_level_subprocess(c, rows) for c in levels}
+        # interleaved best-of-2 per level: the sandbox host has drifting
+        # background load; best-of interleaved runs cancels the drift
+        rates: dict[int, dict] = {}
+        for _ in range(2):
+            for c in levels:
+                r = _run_level_subprocess(c, rows)
+                if c not in rates or r["urls_per_sec"] > \
+                        rates[c]["urls_per_sec"]:
+                    rates[c] = r
         n, n4 = levels
         eff = (rates[n4]["urls_per_sec"] / rates[n]["urls_per_sec"]) \
             / (n4 / n)
@@ -245,6 +253,7 @@ def main():
             f"cores[{n}]": rates[n],
             f"cores[{n4}]": rates[n4],
             "scaling_rows": rows,
+            "runs_per_level": 2,
             "efficiency": round(eff, 3),
         }
 
