@@ -124,14 +124,18 @@ def frontier_sched_plan(spark, requests, replies, cfg=None):
             .filter(F.col("spider_time_ms") <= F.lit(now_ms)))
     # salted two-phase winner top-K: phase 1 ranks inside (ip, salt) and
     # keeps K, bounding the hot-IP sort task (exact — the global per-IP
-    # top-K survives any salt split); phase 2 re-ranks the ≤16K survivors
-    w_salt = Window.partitionBy("first_ip", "_salt").orderBy(
-        F.desc(F.col("priority")), F.asc("hop_count"),
-        F.asc("spider_time_ms"), F.asc("uh48"))
-    cand = (cand.withColumn("_salt", F.pmod(F.col("uh48"), F.lit(16)))
-            .withColumn("_r1", F.row_number().over(w_salt))
-            .filter(F.col("_r1") <= winner_k)
-            .drop("_r1", "_salt"))
+    # top-K survives any salt split); phase 2 re-ranks the ≤16K survivors.
+    # It costs one extra full shuffle, so it only pays when the hottest IP
+    # dominates a partition (extreme zipf) — off by default here, on via
+    # OSSE_BENCH_SALT=1.
+    if os.environ.get("OSSE_BENCH_SALT", "0") == "1":
+        w_salt = Window.partitionBy("first_ip", "_salt").orderBy(
+            F.desc(F.col("priority")), F.asc("hop_count"),
+            F.asc("spider_time_ms"), F.asc("uh48"))
+        cand = (cand.withColumn("_salt", F.pmod(F.col("uh48"), F.lit(16)))
+                .withColumn("_r1", F.row_number().over(w_salt))
+                .filter(F.col("_r1") <= winner_k)
+                .drop("_r1", "_salt"))
     w_ip = Window.partitionBy("first_ip").orderBy(
         F.desc(F.col("priority")), F.asc("hop_count"),
         F.asc("spider_time_ms"), F.asc("uh48"))
