@@ -43,7 +43,6 @@ from pyspark.sql import types as T
 from ..functions import filters as Fc
 from ..operators import windows as windows_ops
 from ..functions import udfs
-from ..kernel import robots as robots_kernel
 from ..oracle.crawler import CrawlConfig
 from ..sources.snapstore import SnapshotTable
 
