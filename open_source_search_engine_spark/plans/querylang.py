@@ -158,7 +158,6 @@ def run_query(q: str, docs: DataFrame, postings: DataFrame, k: int = 10,
     matched2 = enriched.select("doc_id").distinct()
     if all_terms:
         n_docs = docs.count()
-        per_term = S.and_query(postings, [])  # placeholder not used
         base = (postings.filter(F.col("term").isin(all_terms))
                 .groupBy("doc_id")
                 .agg(F.sum("tf").alias("sum_tf"),
