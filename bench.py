@@ -83,23 +83,30 @@ def frontier_sched_plan(spark, requests, replies, cfg=None):
     latest = (wops.argmax_per_key(replies, "uh48", ["spidered_time_ms"])
               .select("uh48",
                       F.col("spidered_time_ms").alias("last_spidered_ms"),
-                      "err_code", "err_count", "http_status", "is_indexed",
-                      F.col("lang").alias("reply_lang")))
-    req_others = [c for c in requests.columns if c != "uh48"]
-    req = (requests.groupBy("uh48").agg(
-               F.min_by(F.struct(*[F.col(c) for c in req_others]),
+                      "err_code", "err_count"))
+    # NARROW the hot path: the reference stores url-derived facts as
+    # SpiderRequest flag bits (m_hasMediaExtension, m_isWWWSubdomain,
+    # Spider.h:592-698) so scheduling never carries the url string.
+    # Same here — predicate flags are computed once on the scan, the
+    # shuffled rows are ~fixed-width, and urls are hydrated at the end
+    # for only the scheduled set.
+    narrow_cols = ["uh48", "first_ip", "hop_count", "added_time_ms",
+                   "is_addurl", "is_injected", "is_reindex",
+                   "parent_is_rss", "parent_is_sitemap",
+                   "page_num_inlinks",
+                   "_p_ismedia", "_p_iswww", "_p_isroot"]
+    narrow = Fc.attach_url_predicates(requests).select(*narrow_cols)
+    others = [c for c in narrow_cols if c != "uh48"]
+    req = (narrow.groupBy("uh48").agg(
+               F.min_by(F.struct(*[F.col(c) for c in others]),
                         F.struct("hop_count", "added_time_ms")).alias("_r"))
            .select("uh48",
-                   *[F.col(f"_r.{c}").alias(c) for c in req_others]))
+                   *[F.col(f"_r.{c}").alias(c) for c in others]))
     cand = (req.join(latest, "uh48", "left")
             .withColumn("has_reply", F.col("last_spidered_ms").isNotNull())
-            .withColumn("tld", F.lit("com"))
-            .withColumn("lang", F.coalesce("reply_lang", F.lit("")))
-            .withColumn("last_spider_time",
-                        F.coalesce(F.col("last_spidered_ms") / 1000,
-                                   F.lit(0)))
             )
-    cand = Fc.with_rule_outputs(cand, spark, DEFAULT_WEB_PROFILE)
+    cand = Fc.finish_rule_outputs(
+        Fc.attach_reply_predicates(cand), DEFAULT_WEB_PROFILE)
     cand = (cand.filter(~F.col("force_delete") &
                         (F.col("max_spiders") > 0))
             # crawl-delay: per-host amortized robots state, modeled as a
@@ -155,9 +162,15 @@ def frontier_sched_plan(spark, requests, replies, cfg=None):
     )
     # narrow before the band-pruned budget so its cache holds only the
     # output columns
-    cand = cand.select("url", "uh48", "first_ip", "priority",
-                       "fetch_time_ms")
-    return budget_select(cand, budget)
+    cand = cand.select("uh48", "first_ip", "priority", "fetch_time_ms")
+    sched = budget_select(cand, budget)
+    # hydrate urls for the scheduled set only: broadcast the (small)
+    # schedule against the frontier scan — no extra shuffle (doledb
+    # stores the winning request; same late-materialization idea)
+    return (requests.select("uh48", "url")
+            .join(F.broadcast(sched), "uh48")
+            .select("url", "uh48", "first_ip", "priority",
+                    "fetch_time_ms"))
 
 
 def run_frontier_bench(spark, n_rows: int) -> dict:

@@ -219,23 +219,36 @@ def rule_outputs_array(rules: tuple[Rule, ...]) -> Column:
     return F.array(*structs)
 
 
-def with_rule_outputs(df, spark, rules: tuple[Rule, ...]):
-    """Attach rule_idx + all rule outputs: shared predicates evaluated
-    once per row, one small codegen'd when-chain for the index, constant
-    array-literal lookup for the outputs."""
-    _ = spark  # kept for signature stability
+def attach_url_predicates(df):
+    """Request-intrinsic predicate flags derived from the url/host
+    strings.  The reference stores exactly these as SpiderRequest flag
+    bits at request-build time (m_hasMediaExtension, m_isWWWSubdomain —
+    Spider.h:592-698), so downstream scheduling never touches the url
+    string — we do the same to keep the shuffle rows narrow."""
+    return (df
+            .withColumn("_p_ismedia", is_media_col(F.col("url")))
+            .withColumn("_p_iswww", F.col("host").startswith("www."))
+            .withColumn("_p_isroot",
+                        F.col("url").rlike(r"^[a-z]+://[^/]+/$")))
+
+
+def attach_reply_predicates(df):
+    """Reply-dependent predicate flags (evaluated after the latest-reply
+    join)."""
+    return (df
+            .withColumn("_p_isnew", ~F.col("has_reply"))
+            .withColumn("_p_tmperr",
+                        F.col("has_reply") &
+                        F.coalesce(F.col("err_code"), F.lit(0))
+                        .isin(list(TMP_ERRORS)))
+            .withColumn("_p_manual",
+                        F.col("is_addurl") | F.col("is_injected")))
+
+
+def finish_rule_outputs(df, rules: tuple[Rule, ...]):
+    """rule_idx when-chain over the _p_* columns + array-literal outputs.
+    Requires attach_url_predicates + attach_reply_predicates upstream."""
     out = (df
-           .withColumn("_p_ismedia", is_media_col(F.col("url")))
-           .withColumn("_p_isnew", ~F.col("has_reply"))
-           .withColumn("_p_tmperr",
-                       F.col("has_reply") &
-                       F.coalesce(F.col("err_code"), F.lit(0))
-                       .isin(list(TMP_ERRORS)))
-           .withColumn("_p_iswww", F.col("host").startswith("www."))
-           .withColumn("_p_isroot",
-                       F.col("url").rlike(r"^[a-z]+://[^/]+/$"))
-           .withColumn("_p_manual",
-                       F.col("is_addurl") | F.col("is_injected"))
            .withColumn("rule_idx", rule_idx_expr(rules))
            .drop(*_SHARED_PRED_COLS.values())
            .withColumn("_ro", F.element_at(rule_outputs_array(rules),
@@ -243,3 +256,12 @@ def with_rule_outputs(df, spark, rules: tuple[Rule, ...]):
     for f in _OUTPUT_FIELDS:
         out = out.withColumn(f, F.col(f"_ro.{f}"))
     return out.drop("_ro")
+
+
+def with_rule_outputs(df, spark, rules: tuple[Rule, ...]):
+    """Attach rule_idx + all rule outputs: shared predicates evaluated
+    once per row, one small codegen'd when-chain for the index, constant
+    array-literal lookup for the outputs."""
+    _ = spark  # kept for signature stability
+    return finish_rule_outputs(
+        attach_reply_predicates(attach_url_predicates(df)), rules)
