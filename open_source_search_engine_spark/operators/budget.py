@@ -21,6 +21,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def distributed_topk(df: DataFrame, order_cols: tuple[str, ...], k: int,
+                     partitions: int | None = None,
+                     small_k: int = 100_000) -> DataFrame:
+    """Exact top-k by (order_cols asc) without the driver-side merge.
+
+    ``ORDER BY … LIMIT k`` (TakeOrderedAndProject) ships every partition's
+    top-k to the driver and merges single-threaded — for k=400k over 64
+    partitions that is ~25M rows / ~600 MB of serial work (measured ~16 s
+    of Amdahl serial time in the scheduling bench).  Instead:
+    range-partition on the sort key, count rows per range (a P-row
+    collect), take every partition below the cutoff whole, and sort only
+    the single straddling partition.  Exactness requires a total order —
+    include a unique tiebreaker (uh48) in order_cols."""
+    if k <= small_k:
+        return df.orderBy(*[F.asc(c) for c in order_cols]).limit(k)
+    if partitions is None:
+        partitions = max(df.sparkSession.sparkContext
+                         .defaultParallelism * 2, 16)
+    rp = (df.repartitionByRange(partitions, *[F.col(c)
+                                              for c in order_cols])
+          .withColumn("_pid", F.spark_partition_id())
+          .persist())
+    counts = dict((r["_pid"], r["count"]) for r in
+                  rp.groupBy("_pid").count().collect())
+    total = 0
+    cut_pid = None
+    remainder = k
+    for pid in sorted(counts):
+        if total + counts[pid] >= k:
+            cut_pid = pid
+            remainder = k - total
+            break
+        total += counts[pid]
+    if cut_pid is None:
+        return rp.drop("_pid")  # fewer rows than k
+    below = rp.filter(F.col("_pid") < cut_pid).drop("_pid")
+    boundary = (rp.filter(F.col("_pid") == cut_pid)
+                .orderBy(*[F.asc(c) for c in order_cols])
+                .limit(remainder).drop("_pid"))
+    return below.unionByName(boundary)
+
+
 def budget_select(cand: DataFrame, budget: int,
                   priority_col: str = "priority",
                   order_cols: tuple[str, ...] = ("fetch_time_ms", "uh48"),
@@ -45,7 +87,6 @@ def budget_select(cand: DataFrame, budget: int,
     if cutoff is None:
         return cand  # fewer candidates than budget: everything passes
     above = cand.filter(F.col(priority_col) > cutoff)
-    boundary = (cand.filter(F.col(priority_col) == cutoff)
-                .orderBy(*[F.asc(c) for c in order_cols])
-                .limit(remainder))
+    boundary = distributed_topk(
+        cand.filter(F.col(priority_col) == cutoff), order_cols, remainder)
     return above.unionByName(boundary)
