@@ -340,6 +340,19 @@ def q_search_topk(spark, sf_dir):
             .select("doc_id", _r6(F.col("score")).alias("score"), "lang"))
 
 
+def q_search_gbops(spark, sf_dir):
+    """gbmin:/gbmax:/gbsortbyint: numeric query operators
+    (Query.cpp:2555-2613) through the full query-language parser."""
+    from open_source_search_engine_spark.plans.querylang import run_query
+    from open_source_search_engine_spark.plans.search import build_postings
+    docs = _docs(spark, sf_dir)
+    p = build_postings(docs, split_pattern=" ")
+    out = run_query(
+        "data gbmin:n_chars:180 gbmax:n_chars:260 gbsortbyint:n_chars",
+        docs, p, k=25)
+    return out.select("doc_id", "n_chars")
+
+
 def q_search_facets(spark, sf_dir):
     """gbfacetstr: facet counts over the AND-matched result set."""
     from open_source_search_engine_spark.plans.search import (
@@ -376,6 +389,137 @@ def q_lsh_ann(spark, sf_dir):
                .select(F.col("vec_id").alias("qid"), "embedding"))
     corpus = emb.filter(F.col("vec_id") >= 3)
     return lsh_ann_topk(corpus, queries, k=5, n_planes=6, dim=64)
+
+
+# URL-kernel queries over a synthesized url column (deterministic function
+# of documents.doc_id/source, built with IDENTICAL string expressions in
+# Spark and the DuckDB oracle) — oracle-checked coverage for B3 (full
+# spam-term table), B (rule language incl. round-2 keywords) and B6
+# (site-list membership).
+
+_URL_TAGS = ("clean", "porn", "sussex", "analog", "sexpert",
+             "gaybar", "bdsm", "kinko", "fickle", "documentcloud")
+# expected per-tag spam verdicts under Url::isSpam + isAdult exceptions
+# (kernel/spamwords.py; Lang.cpp:467-676)
+_SPAM_TAGS = ("porn", "gaybar", "bdsm")
+
+
+def _synth_host(doc_id, source):
+    tag = F.element_at(F.array(*[F.lit(t) for t in _URL_TAGS]),
+                       (doc_id % 10 + 1).cast("int"))
+    return F.concat(F.lit("www."), source, F.lit("-"), tag, F.lit(".com"))
+
+
+def _synth_url(doc_id, source):
+    host = _synth_host(doc_id, source)
+    d = doc_id.cast("string")
+    path = (F.when(doc_id % 5 == 0, F.concat(F.lit("p"), d,
+                                             F.lit(".html")))
+            .when(doc_id % 5 == 1,
+                  F.concat(F.lit("2020/01/long-story-"), d,
+                           F.lit("-part-2.html")))
+            .when(doc_id % 5 == 2, F.concat(F.lit("feed"), d,
+                                            F.lit(".xml")))
+            .when(doc_id % 5 == 3, F.concat(F.lit("img"), d,
+                                            F.lit(".jpg")))
+            .otherwise(F.lit("")))
+    return F.concat(F.lit("http://"), host, F.lit("/"), path)
+
+
+_SYNTH_URL_SQL = """
+    'http://www.' || source || '-' ||
+    (['clean','porn','sussex','analog','sexpert','gaybar','bdsm',
+      'kinko','fickle','documentcloud'])[CAST(doc_id % 10 AS INT) + 1]
+    || '.com/' ||
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN 'p' || CAST(doc_id AS VARCHAR) || '.html'
+      WHEN 1 THEN '2020/01/long-story-' || CAST(doc_id AS VARCHAR)
+                  || '-part-2.html'
+      WHEN 2 THEN 'feed' || CAST(doc_id AS VARCHAR) || '.xml'
+      WHEN 3 THEN 'img' || CAST(doc_id AS VARCHAR) || '.jpg'
+      ELSE '' END
+"""
+
+
+def q_spam_hosts(spark, sf_dir):
+    """B3: the reference's full porn/spam host detector
+    (Url::isSpam Url.cpp:1138-1184 + isAdult term table Lang.cpp:467-676)
+    compiled to Column expressions; oracle = the expected verdict per
+    injected tag segment."""
+    from open_source_search_engine_spark.functions.filters import (
+        is_spam_host_col,
+    )
+    docs = _docs(spark, sf_dir)
+    host = _synth_host(F.col("doc_id"), F.col("source"))
+    return (docs.select(F.col("doc_id"), host.alias("host"))
+            .withColumn("is_spam",
+                        is_spam_host_col(F.col("host"), F.lit("com"))))
+
+
+def q_url_filter_rules(spark, sf_dir):
+    """B: first-match-wins rule language over url-intrinsic predicates
+    (ismedia/isrssext/ispermalink/iswww+isroot) — the compiled when-chain
+    (getUrlFilterNum2, Spider.cpp:11577) vs an independent SQL CASE."""
+    from open_source_search_engine_spark.functions import filters as Fc
+    from open_source_search_engine_spark.kernel.urlfilter import Rule
+    rules = (
+        Rule("ismedia", 100, 0, 99, 1, 1000, True, True),
+        Rule("isrssext", 90, 7, 9, 7, 1000),
+        Rule("ispermalink", 80, 7, 9, 7, 1000),
+        Rule("iswww && isroot", 70, 7, 9, 7, 1000),
+        Rule("default", 10, 60, 9, 7, 1000),
+    )
+    docs = _docs(spark, sf_dir)
+    df = (docs.select(
+        F.col("doc_id"),
+        _synth_url(F.col("doc_id"), F.col("source")).alias("url"),
+        _synth_host(F.col("doc_id"), F.col("source")).alias("host"))
+        .withColumn("has_reply", F.lit(False))
+        .withColumn("err_code", F.lit(0))
+        .withColumn("is_addurl", F.lit(False))
+        .withColumn("is_injected", F.lit(False)))
+    out = Fc.finish_rule_outputs(
+        Fc.attach_reply_predicates(Fc.attach_url_predicates(df, rules)),
+        rules)
+    return out.select("doc_id", "url",
+                      F.col("rule_idx").cast("long").alias("rule_idx"),
+                      F.col("priority").cast("long").alias("priority"))
+
+
+def q_sitelist_membership(spark, sf_dir):
+    """B6: doesStringContainPattern / getMatchingUrlPattern semantics
+    (PageBasic.cpp:471-620) compiled to codegen Columns vs an independent
+    SQL restatement of the same pattern table."""
+    from open_source_search_engine_spark.functions.filters import (
+        in_site_list_col,
+    )
+    from open_source_search_engine_spark.kernel import sitelist
+    sl = sitelist.parse("""
+        src1-porn.com
+        www.src2-sussex.com
+        src3-analog.com/2020/
+        http://www.src4-sexpert.com/feed
+        contains:part-2
+        -contains:img
+    """)
+    docs = _docs(spark, sf_dir)
+    df = docs.select(
+        F.col("doc_id"),
+        _synth_url(F.col("doc_id"), F.col("source")).alias("url"),
+        _synth_host(F.col("doc_id"), F.col("source")).alias("host"))
+    dom = F.regexp_replace(F.col("host"), r"^www\.", "")
+    return df.withColumn(
+        "in_list",
+        in_site_list_col(sl, F.col("url"), F.col("host"), dom))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-band near-dup candidates (rows-only: the signature
+    is xxhash64-based, not expressible in DuckDB)."""
+    from open_source_search_engine_spark.operators.dedup import (
+        simhash_candidates,
+    )
+    return simhash_candidates(_docs(spark, sf_dir), max_hamming=3)
 
 
 def q_crawl_round_schedule(spark, sf_dir):
@@ -449,10 +593,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": q_postings,
         "search_and": q_search_and,
         "search_topk": q_search_topk,
+        "search_gbops": q_search_gbops,
         "search_facets": q_search_facets,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,
+        "spam_hosts": q_spam_hosts,
+        "url_filter_rules": q_url_filter_rules,
+        "sitelist_membership": q_sitelist_membership,
         "crawl_round_schedule": q_crawl_round_schedule,
     }
 
@@ -693,6 +842,19 @@ def oracle_sql() -> dict[str, str]:
                      m.doc_id ASC
             LIMIT 10
         """,
+        "search_gbops": """
+            WITH p AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS term
+                    FROM documents)
+              WHERE term = 'data')
+            SELECT d.doc_id, d.n_chars
+            FROM p JOIN documents d ON d.doc_id = p.doc_id
+            WHERE d.n_chars >= 180 AND d.n_chars <= 260
+            ORDER BY d.n_chars ASC, d.doc_id ASC
+            LIMIT 25
+        """,
         "search_facets": """
             WITH p AS (
               SELECT term, doc_id
@@ -707,8 +869,66 @@ def oracle_sql() -> dict[str, str]:
             FROM matched m JOIN documents d ON d.doc_id = m.doc_id
             GROUP BY d.lang
         """,
-        # minhash_lsh / simhash / lsh_ann / crawl_round_schedule:
-        # intentionally omitted — xxhash64-based signatures and the full
-        # crawl DAG are not ANSI-SQL-expressible; driver records the
-        # rows-only check, and tests/ carry their correctness.
+        "spam_hosts": f"""
+            SELECT doc_id,
+                   'www.' || source || '-' ||
+                   (['clean','porn','sussex','analog','sexpert','gaybar',
+                     'bdsm','kinko','fickle','documentcloud'])
+                   [CAST(doc_id % 10 AS INT) + 1] || '.com' AS host,
+                   (['clean','porn','sussex','analog','sexpert','gaybar',
+                     'bdsm','kinko','fickle','documentcloud'])
+                   [CAST(doc_id % 10 AS INT) + 1]
+                   IN ('porn','gaybar','bdsm') AS is_spam
+            FROM documents
+        """,
+        "url_filter_rules": f"""
+            WITH u AS (
+              SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+            p AS (
+              SELECT doc_id, url,
+                     regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1)
+                     AS path
+              FROM u)
+            SELECT doc_id, url,
+                   CAST(CASE
+                     WHEN url LIKE '%.jpg' THEN 0
+                     WHEN url LIKE '%.xml' THEN 1
+                     WHEN regexp_matches(path, '[0-9]{{3}}')
+                       OR regexp_matches(path, '/[^/]*[-_][^/]*[-_]')
+                       THEN 2
+                     WHEN regexp_matches(url, '^[a-z]+://[^/]+/$') THEN 3
+                     ELSE 4 END AS BIGINT) AS rule_idx,
+                   CAST(CASE
+                     WHEN url LIKE '%.jpg' THEN 100
+                     WHEN url LIKE '%.xml' THEN 90
+                     WHEN regexp_matches(path, '[0-9]{{3}}')
+                       OR regexp_matches(path, '/[^/]*[-_][^/]*[-_]')
+                       THEN 80
+                     WHEN regexp_matches(url, '^[a-z]+://[^/]+/$') THEN 70
+                     ELSE 10 END AS BIGINT) AS priority
+            FROM p
+        """,
+        "sitelist_membership": f"""
+            WITH u AS (
+              SELECT doc_id, {_SYNTH_URL_SQL} AS url,
+                     'www.' || source || '-' ||
+                     (['clean','porn','sussex','analog','sexpert','gaybar',
+                       'bdsm','kinko','fickle','documentcloud'])
+                     [CAST(doc_id % 10 AS INT) + 1] || '.com' AS host
+              FROM documents)
+            SELECT doc_id, url, host,
+                   (NOT contains(url, 'img')) AND (
+                     url LIKE 'http://www.src1-porn.com/%'
+                     OR url LIKE 'http://www.src2-sussex.com/%'
+                     OR url LIKE 'http://www.src3-analog.com/2020/%'
+                     OR url LIKE 'http://www.src4-sexpert.com/feed%'
+                     OR contains(url, 'part-2')
+                   ) AS in_list
+            FROM u
+        """,
+        # minhash_lsh / simhash / simhash_pairs / lsh_ann /
+        # crawl_round_schedule: intentionally omitted — xxhash64-based
+        # signatures and the full crawl DAG are not ANSI-SQL-expressible;
+        # driver records the rows-only check, and tests/ carry their
+        # correctness.
     }

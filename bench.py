@@ -94,7 +94,7 @@ def frontier_sched_plan(spark, requests, replies, cfg=None):
                    "is_addurl", "is_injected", "is_reindex",
                    "parent_is_rss", "parent_is_sitemap",
                    "page_num_inlinks",
-                   "_p_ismedia", "_p_iswww", "_p_isroot"]
+                   "_p_ismedia", "_p_iswww", "_p_isroot", "_p_insitelist"]
     narrow = Fc.attach_url_predicates(requests).select(*narrow_cols)
     others = [c for c in narrow_cols if c != "uh48"]
     req = (narrow.groupBy("uh48").agg(

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..kernel import sitelist as sitelist_mod
+from ..kernel.spamwords import CONDITIONAL_NEEDLES, SPAM_NEEDLES
 from ..kernel.urlfilter import (
     MEDIA_EXT3, MEDIA_EXT4, TMP_ERRORS, Rule, parse_expression,
 )
@@ -34,6 +36,114 @@ def is_media_col(url: Column) -> Column:
              F.substring(ext, 1, 3).isin(list(MEDIA_EXT3))))
 
 
+def path_nq_col(url: Column) -> Column:
+    """Path (no query) of a canonical url as a Column."""
+    return F.substring_index(
+        F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/]*(/[^?]*)", 1),
+        "?", 1)
+
+
+def is_permalink_col(url: Column) -> Column:
+    """isPermalinky (Url.cpp:2236-2266) as Column regexes: 3+ consecutive
+    digits in the path, or 2+ [-_] in one path component (components are
+    '/'-separated; the path always starts with '/')."""
+    p = path_nq_col(url)
+    return p.rlike(r"[0-9]{3}") | p.rlike(r"/[^/]*[-_][^/]*[-_]")
+
+
+def is_rss_ext_col(url: Column) -> Column:
+    """Url::isRSSFormat (Url.cpp:2268-2284): rss/xml/rdf extension, minus
+    wlwmanifest/foaf paths."""
+    p = path_nq_col(url)
+    ext = F.lower(F.regexp_extract(
+        F.element_at(F.split(p, "/"), -1), r"\.([A-Za-z0-9]+)$", 1))
+    return (ext.isin("rss", "xml", "rdf") &
+            ~F.contains(p, F.lit("wlwmanifest")) &
+            ~F.contains(p, F.lit("foaf")))
+
+
+def is_ping_server_col(url: Column) -> Column:
+    """isPingServer (Url.cpp:2297-2305)."""
+    return F.contains(url, F.lit("rpc.weblogs.com/"))
+
+
+def is_spam_host_col(host: Column, tld: Column) -> Column:
+    """Url::isSpam (Url.cpp:1138-1184) + the full isAdult needle table
+    (Lang.cpp:467-676, kernel/spamwords.py) compiled to Column
+    expressions: split the host-minus-tld on [.-], any segment matching a
+    needle (modulo its exception list) is spam.  Pure codegen — the
+    needle scan is exists() over the split array with contains()."""
+    s = F.lower(host)
+    s = F.when((tld != "") & s.endswith(F.concat(F.lit("."), F.lower(tld))),
+               s.substr(F.lit(1), F.length(s) - F.length(tld) - 1)
+               ).otherwise(s)
+    hyphen_spam = (F.length(s) > 30) & \
+        (F.size(F.split(s, "-")) - 1 >= 4)
+
+    def seg_is_adult(seg: Column) -> Column:
+        cond = F.lit(False)
+        for n in SPAM_NEEDLES:
+            cond = cond | F.contains(seg, F.lit(n))
+        for n, exceptions in CONDITIONAL_NEEDLES:
+            hit = F.contains(seg, F.lit(n))
+            for e in exceptions:
+                hit = hit & ~F.contains(seg, F.lit(e))
+            cond = cond | hit
+        return cond
+
+    segs = F.split(F.translate(s, "-", "."), r"\.")
+    seg_spam = F.exists(segs, lambda g: (F.length(g) > 0) & seg_is_adult(g))
+    exempt = tld.startswith("edu") | tld.startswith("gov")
+    return ~exempt & (hyphen_spam | seg_spam)
+
+
+def in_site_list_col(sl, url: Column, host: Column,
+                     domain: Column) -> Column:
+    """getMatchingUrlPattern (PageBasic.cpp:471-620) compiled to Column
+    expressions: a constant map literal domain → array<pattern struct> +
+    ``F.exists`` — the whole membership check stays in codegen.  For site
+    lists beyond ~10^5 lines, swap the map literal for a broadcast-joined
+    pattern table keyed by domain (same shape).  Empty list ⇒ always True
+    (Spider.cpp:12003-12009)."""
+    if sl.empty:
+        return F.lit(True)
+    neg = F.lit(False)
+    for sub in sl.neg_substrings:
+        neg = neg | F.contains(url, F.lit(sub))
+    pos = F.lit(False)
+    for sub in sl.pos_substrings:
+        pos = pos | F.contains(url, F.lit(sub))
+    dom_c = F.when(domain == "", host).otherwise(domain)
+    hit = F.lit(False)
+    if sl.patterns:
+        by_dom: dict[str, list] = {}
+        for pd in sl.patterns:
+            by_dom.setdefault(pd.line_domain, []).append(pd)
+        entries = []
+        for dom, pds in by_dom.items():
+            arr = F.array(*[
+                F.struct(F.lit(pd.thing_host).alias("thing_host"),
+                         F.lit(pd.path).alias("path"),
+                         F.lit(pd.url_prefix).alias("url_prefix"))
+                for pd in pds])
+            entries.extend([F.lit(dom), arr])
+        pat_map = F.create_map(*entries)
+        pats = pat_map[dom_c]
+        path_c = F.regexp_extract(
+            url, r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1)
+
+        def one(p):
+            path_ok = (p["path"] == "") | path_c.startswith(p["path"])
+            url_pat = F.when(p["url_prefix"] != "",
+                             url.startswith(p["url_prefix"])) \
+                .otherwise((p["thing_host"] == dom_c) |
+                           (p["thing_host"] == host))
+            return path_ok & url_pat
+
+        hit = pats.isNotNull() & F.exists(pats, one)
+    return ~neg & (hit | pos)
+
+
 _NUM_COLS = {
     "errorcount": "err_count",
     "errorcode": "err_code",
@@ -43,6 +153,14 @@ _NUM_COLS = {
     "numinlinks": "page_num_inlinks",
     "pagenuminlinks": "page_num_inlinks",
     "lastspidertime": "last_spider_time",
+    "percentchangedperday": "percent_changed_per_day",
+    "urlage": "url_age",
+    "age": "url_age",
+    "spiderwaited": "spider_waited",
+    "retrynum": "err_count",
+    "sitepages": "site_pages",
+    "domainpages": "domain_pages",
+    "seedcount": "seed_count",
 }
 
 _BOOL_COLS = {
@@ -54,6 +172,11 @@ _BOOL_COLS = {
     "isparentsitemap": "parent_is_sitemap",
     "isonsamedomain": "same_dom",
     "isonsamesubdomain": "same_host",
+    "isdocidbased": "is_docid_based",
+    "isnewoutlink": "is_new_outlink",
+    "isparentindexed": "was_parent_indexed",
+    "hasauthorityinlink": "has_authority_inlink",
+    "isrss": "is_rss",
 }
 
 
@@ -75,7 +198,16 @@ def _term_col(term) -> Column:
     elif kw == "ismanualadd":
         col = F.col("is_addurl") | F.col("is_injected")
     elif kw == "insitelist":
-        col = F.lit(True)  # site list empty in the web profile
+        # attach_url_predicates supplies _p_insitelist (compiled site-list
+        # membership, or lit(True) when the site list is empty —
+        # Spider.cpp:12003-12009)
+        col = F.col("_p_insitelist")
+    elif kw == "ispermalink":
+        col = is_permalink_col(F.col("url"))
+    elif kw == "isrssext":
+        col = is_rss_ext_col(F.col("url"))
+    elif kw == "ispingserver":
+        col = is_ping_server_col(F.col("url"))
     elif kw == "hastmperror":
         col = F.col("has_reply") & F.col("err_code").isin(list(TMP_ERRORS))
     elif kw in ("lang", "parentlang"):
@@ -83,7 +215,8 @@ def _term_col(term) -> Column:
         col = F.col(field).isin((term.value or "").split(","))
     elif kw == "tld":
         col = F.col("tld").isin((term.value or "").split(","))
-    elif kw == "matchesucp":
+    elif kw in ("matchesucp", "matchesupr", "matchesucr"):
+        # Spider.cpp:11687-11757 (ucp + the ucr/upr regex twins)
         col = F.col("url").rlike(term.value or "")
     elif kw in _BOOL_COLS:
         col = F.col(_BOOL_COLS[kw]).cast("boolean")
@@ -153,7 +286,23 @@ _SHARED_PRED_COLS = {
     "iswww": "_p_iswww",
     "isroot": "_p_isroot",
     "ismanualadd": "_p_manual",
+    "insitelist": "_p_insitelist",
+    "ispermalink": "_p_permalink",
+    "isrssext": "_p_rssext",
+    "ispingserver": "_p_pingsrv",
 }
+
+
+def used_keywords(rules: tuple[Rule, ...]) -> set[str]:
+    """All keywords referenced by a rule table — the reference's
+    m_countingPagesIndexed-style pre-scan (Spider.cpp:3596) so expensive
+    inputs (quota aggregations, site-list compile) are only built when a
+    rule actually reads them."""
+    kws: set[str] = set()
+    for r in rules:
+        for t in parse_expression(r.expression):
+            kws.add(t.keyword)
+    return kws
 
 
 def _term_col_fast(term) -> Column:
@@ -219,17 +368,41 @@ def rule_outputs_array(rules: tuple[Rule, ...]) -> Column:
     return F.array(*structs)
 
 
-def attach_url_predicates(df):
+def attach_url_predicates(df, rules: tuple[Rule, ...] | None = None,
+                          site_list=None):
     """Request-intrinsic predicate flags derived from the url/host
     strings.  The reference stores exactly these as SpiderRequest flag
     bits at request-build time (m_hasMediaExtension, m_isWWWSubdomain —
     Spider.h:592-698), so downstream scheduling never touches the url
-    string — we do the same to keep the shuffle rows narrow."""
-    return (df
-            .withColumn("_p_ismedia", is_media_col(F.col("url")))
-            .withColumn("_p_iswww", F.col("host").startswith("www."))
-            .withColumn("_p_isroot",
-                        F.col("url").rlike(r"^[a-z]+://[^/]+/$")))
+    string — we do the same to keep the shuffle rows narrow.
+
+    ``_p_insitelist`` is always attached: compiled site-list membership
+    when a parsed non-empty ``site_list`` (kernel/sitelist.SiteList) is
+    given, else lit(True) (empty list ⇒ dummy match,
+    Spider.cpp:12003-12009; constant-folded, free).  The permalink/rssext/
+    pingserver flags are attached only when a rule reads them."""
+    kws = used_keywords(rules) if rules is not None else set()
+    out = (df
+           .withColumn("_p_ismedia", is_media_col(F.col("url")))
+           .withColumn("_p_iswww", F.col("host").startswith("www."))
+           .withColumn("_p_isroot",
+                       F.col("url").rlike(r"^[a-z]+://[^/]+/$")))
+    if site_list is not None and not site_list.empty:
+        dom = (F.col("domain") if "domain" in df.columns
+               else F.lit(""))
+        out = out.withColumn("_p_insitelist", in_site_list_col(
+            site_list, F.col("url"), F.col("host"), dom))
+    else:
+        out = out.withColumn("_p_insitelist", F.lit(True))
+    if "ispermalink" in kws:
+        out = out.withColumn("_p_permalink",
+                             is_permalink_col(F.col("url")))
+    if "isrssext" in kws:
+        out = out.withColumn("_p_rssext", is_rss_ext_col(F.col("url")))
+    if "ispingserver" in kws:
+        out = out.withColumn("_p_pingsrv",
+                             is_ping_server_col(F.col("url")))
+    return out
 
 
 def attach_reply_predicates(df):
@@ -258,10 +431,11 @@ def finish_rule_outputs(df, rules: tuple[Rule, ...]):
     return out.drop("_ro")
 
 
-def with_rule_outputs(df, spark, rules: tuple[Rule, ...]):
+def with_rule_outputs(df, spark, rules: tuple[Rule, ...], site_list=None):
     """Attach rule_idx + all rule outputs: shared predicates evaluated
     once per row, one small codegen'd when-chain for the index, constant
     array-literal lookup for the outputs."""
     _ = spark  # kept for signature stability
     return finish_rule_outputs(
-        attach_reply_predicates(attach_url_predicates(df)), rules)
+        attach_reply_predicates(
+            attach_url_predicates(df, rules, site_list)), rules)

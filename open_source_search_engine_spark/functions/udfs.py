@@ -81,7 +81,9 @@ def make_robots_udf(user_agent: str = robots.DEFAULT_USER_AGENT):
     def robots_udf(robots_txt: pd.Series, status: pd.Series,
                    url: pd.Series) -> pd.DataFrame:
         """isAllowed2 two-pass + crawl delay (XmlDoc.cpp:14817-15004).
-        Parsed-rules memoized per distinct robots body within the batch."""
+        Parse+match per row — kept for tests/one-off checks only; the
+        scheduler uses make_robots_rules_udf (parse per host, once) +
+        robots_match_udf (match per url)."""
         out_a, out_d = [], []
         for txt, st, u in zip(robots_txt, status, url):
             v = robots.check(txt, urlnorm.get_path_cgi(u or "/"),
@@ -91,6 +93,45 @@ def make_robots_udf(user_agent: str = robots.DEFAULT_USER_AGENT):
             out_d.append(robots.final_crawl_delay_ms(v.crawl_delay_ms))
         return pd.DataFrame({"allowed": out_a, "crawl_delay_ms": out_d})
     return robots_udf
+
+
+_ROBOTS_RULES_SCHEMA = T.StructType([
+    T.StructField("disallow", T.ArrayType(T.StringType())),
+    T.StructField("crawl_delay_ms", T.IntegerType()),
+])
+
+
+def make_robots_rules_udf(user_agent: str = robots.DEFAULT_USER_AGENT):
+    """Parse robots.txt ONCE per host row → effective Disallow prefixes +
+    finalized crawl delay (default 250ms, cap 60s).  Runs over the
+    |hosts|-row hostmeta table, never over candidates — the 24h per-host
+    robots cache analog (Msg13.cpp:590)."""
+    @pandas_udf(_ROBOTS_RULES_SCHEMA)
+    def robots_rules_udf(robots_txt: pd.Series,
+                         status: pd.Series) -> pd.DataFrame:
+        pats, delays = [], []
+        for txt, st in zip(robots_txt, status):
+            p, d = robots.effective_rules(
+                txt, user_agent, int(st) if st is not None else 404)
+            pats.append(p)
+            delays.append(robots.final_crawl_delay_ms(d))
+        return pd.DataFrame({"disallow": pats, "crawl_delay_ms": delays})
+    return robots_rules_udf
+
+
+@pandas_udf(T.BooleanType())
+def robots_match_udf(disallow: pd.Series, path_cgi: pd.Series) -> pd.Series:
+    """Per-url allow check over PRE-PARSED Disallow prefixes — prefix
+    compares only, no parsing (isAllowed2 match step,
+    XmlDoc.cpp:14920-14975).  Arrow-batched; the only Python the
+    candidate-filter path runs per row."""
+    out = []
+    for pats, pc in zip(disallow, path_cgi):
+        if pats is None or len(pats) == 0:
+            out.append(True)
+        else:
+            out.append(robots.match_path(list(pats), pc or "/"))
+    return pd.Series(out)
 
 
 @pandas_udf(T.StringType())

@@ -77,11 +77,13 @@ def _ua_matches(value: str, ua: str, substring: bool) -> bool:
     return v[:m].lower() == ua[:m].lower()
 
 
-def _is_allowed_pass(
-    lines, path_cgi: str, ua: str, substring: bool, crawl_delay: int
-):
-    """One isAllowed2 pass. Returns (allowed, ua_found, had_rules, delay)."""
-    allowed = True
+def _collect_pass(lines, ua: str, substring: bool, crawl_delay: int):
+    """One isAllowed2 pass, collecting the effective Disallow prefixes
+    instead of matching a path.  Returns (patterns, ua_found, had_rules,
+    delay).  Equivalent to the reference's per-url pass because Disallow
+    matches only ever flip allowed→False — the verdict for any path is
+    "no collected prefix matches" regardless of rule order."""
+    patterns: list[str] = []
     ua_found = False
     had_rules = False
     delay = crawl_delay
@@ -134,8 +136,6 @@ def _is_allowed_pass(
                 continue
             had_rules = True
             flag = True
-            if not allowed:
-                continue
             # value stops at first whitespace
             v = value
             for k, ch in enumerate(v):
@@ -144,15 +144,48 @@ def _is_allowed_pass(
                     break
             if not v:
                 continue
-            subject = path_cgi
-            if v[0] != "/":
-                subject = subject[1:]
-            if len(v) > len(subject):
-                continue
-            if subject[: len(v)].lower() != v.lower():
-                continue
-            allowed = False
-    return allowed, ua_found, had_rules, delay
+            patterns.append(v)
+    return patterns, ua_found, had_rules, delay
+
+
+def effective_rules(
+    robots_txt: str | None,
+    user_agent: str = DEFAULT_USER_AGENT,
+    http_status: int = 200,
+) -> tuple[list[str], int]:
+    """Parse ONCE per (robots body, UA): the effective Disallow-prefix list
+    + raw crawl delay after the reference's two-pass UA dispatch
+    (XmlDoc.cpp:15244-15296).  This is the per-host robots cache unit —
+    the reference caches parsed robots per host for 24h (Msg13.cpp:590);
+    the Spark pipeline materializes this per distinct host so the per-URL
+    check is prefix matching only, never re-parsing."""
+    if http_status != 200 or robots_txt is None or len(robots_txt) == 0:
+        return [], -1
+    lines = _parse_lines(robots_txt)
+    patterns, ua_found, had_rules, delay = _collect_pass(
+        lines, user_agent, True, -1
+    )
+    saved_delay = delay
+    if not ua_found or not had_rules:
+        patterns, _, _, delay = _collect_pass(lines, "*", False, delay)
+    if saved_delay != -1:
+        delay = saved_delay
+    return patterns, delay
+
+
+def match_path(patterns: list[str], path_cgi: str) -> bool:
+    """Disallow prefix match (case-insensitive; a value not starting with
+    ``/`` matches against the path minus its leading ``/``).  True =
+    allowed."""
+    for v in patterns:
+        subject = path_cgi
+        if v[0] != "/":
+            subject = subject[1:]
+        if len(v) > len(subject):
+            continue
+        if subject[: len(v)].lower() == v.lower():
+            return False
+    return True
 
 
 def check(
@@ -162,20 +195,8 @@ def check(
     http_status: int = 200,
 ) -> RobotsVerdict:
     """Two-pass allow check + crawl delay (XmlDoc.cpp:15244-15296)."""
-    if http_status != 200 or robots_txt is None or len(robots_txt) == 0:
-        return RobotsVerdict(True, -1)
-    lines = _parse_lines(robots_txt)
-    allowed, ua_found, had_rules, delay = _is_allowed_pass(
-        lines, path_cgi, user_agent, True, -1
-    )
-    saved_delay = delay
-    if not ua_found or not had_rules:
-        allowed, _, _, delay = _is_allowed_pass(
-            lines, path_cgi, "*", False, delay
-        )
-    if saved_delay != -1:
-        delay = saved_delay
-    return RobotsVerdict(allowed, delay)
+    patterns, delay = effective_rules(robots_txt, user_agent, http_status)
+    return RobotsVerdict(match_path(patterns, path_cgi), delay)
 
 
 def final_crawl_delay_ms(raw_delay_ms: int) -> int:

@@ -140,6 +140,9 @@ _NUMERIC_KEYS = {
     "lastspidertime": "last_spider_time",
     "spiderwaited": "spider_waited",  # now - last_spider_time (s)
     "retrynum": "err_count",
+    "sitepages": "site_pages",        # F2 quotas (Spider.cpp:12712-12790)
+    "domainpages": "domain_pages",
+    "seedcount": "seed_count",
 }
 
 _BOOL_KEYS = {
@@ -188,9 +191,10 @@ def evaluate_term(term: Term, ctx: dict) -> bool:
     elif kw == "tld":
         vals = set((term.value or "").split(","))
         result = ctx.get("tld", "") in vals
-    elif kw == "matchesucp":
-        # per-collection URL regex rows (Spider.cpp:11687-11722); value is
-        # the POSIX regex
+    elif kw in ("matchesucp", "matchesupr", "matchesucr"):
+        # per-collection URL regex rows: ucr/upr are the compiled-regex
+        # twins of the ucp/upp pattern lists (Spider.cpp:11687-11757,
+        # m_ucr/m_upr Collectiondb.h); value is the regex
         import re as _re
         result = bool(_re.search(term.value or "", ctx.get("url", "")))
     elif kw in _BOOL_KEYS:
@@ -219,19 +223,32 @@ def evaluate(rules: tuple[Rule, ...], ctx: dict) -> int:
     return len(rules) - 1  # default is always last
 
 
-def build_context(request: dict, reply: dict | None, now: int) -> dict:
-    """Assemble the evaluation context from a request row + latest reply."""
+def build_context(request: dict, reply: dict | None, now: int,
+                  site_list=None) -> dict:
+    """Assemble the evaluation context from a request row + latest reply.
+    ``site_list`` is a parsed kernel.sitelist.SiteList (None ⇒ empty ⇒
+    every url matches, Spider.cpp:12003-12009)."""
+    from . import sitelist as _sitelist
+    from . import urlflags as _urlflags
     ctx = dict(request)
-    ctx["is_media"] = is_media_url(request["url"])
+    url = request["url"]
+    ctx["is_media"] = is_media_url(url)
     ctx["has_reply"] = reply is not None
     host = ctx.get("host", "")
     ctx["is_www"] = host.startswith("www.")
-    path = request["url"].split("://", 1)[-1]
+    path = url.split("://", 1)[-1]
     slash = path.find("/")
     ctx["is_root"] = slash >= 0 and path[slash:] == "/"
     ctx.setdefault("is_manualadd",
                    bool(ctx.get("is_addurl")) or bool(ctx.get("is_injected")))
-    ctx.setdefault("in_site_list", True)
+    ctx.setdefault("is_permalink", _urlflags.is_permalink(url))
+    ctx.setdefault("is_rss_ext", _urlflags.is_rss_ext(url))
+    ctx.setdefault("is_ping_server", _urlflags.is_ping_server(url))
+    if site_list is None or site_list.empty:
+        ctx.setdefault("in_site_list", True)
+    else:
+        ctx["in_site_list"] = _sitelist.matches(
+            site_list, url, host, ctx.get("domain", ""))
     if reply is not None:
         ctx["err_code"] = reply.get("err_code", 0)
         ctx["err_count"] = reply.get("err_count", 0)

@@ -17,10 +17,12 @@ extraction.
 
 from __future__ import annotations
 
-from . import extract
+from . import extract, urlnorm
+from .spamwords import is_spam_host  # noqa: F401  (re-export)
 
 DEFAULT_SPAM_NEEDLES = (
-    # representative adult/spam fragments (mechanism demo — extend in prod)
+    # representative adult/spam fragments (mechanism demo; the full
+    # reference term table lives in kernel/spamwords.py)
     "porn", "xxx", "sex", "viagra", "casino", "escort",
 )
 
@@ -55,9 +57,61 @@ def is_link_loop(url: str) -> bool:
 
 
 def is_spam_url(url: str, needles=DEFAULT_SPAM_NEEDLES) -> bool:
-    """Substring scan over lowercase host+path (Url::isSpam mechanism)."""
+    """Substring scan over lowercase host+path (Url::isSpam mechanism).
+    For the reference's full host-segment semantics + term data use
+    ``spamwords.is_spam_host(host, tld)``."""
     u = url.lower()
     return any(n in u for n in needles)
+
+
+def is_permalink(url: str) -> bool:
+    """isPermalinky (Url.cpp:2236-2266): the path (before ``?``) contains
+    3+ consecutive digits, or 2+ hyphens/underscores within a single path
+    component."""
+    path = urlnorm.get_path_cgi(url)
+    dcount = 0
+    for ch in path:
+        if ch == "?":
+            break
+        if ch.isdigit():
+            dcount += 1
+            if dcount == 3:
+                return True
+        else:
+            dcount = 0
+    hcount = 0
+    for ch in path:
+        if ch == "?":
+            break
+        if ch == "/":
+            hcount = 0
+            continue
+        if ch in "-_":
+            hcount += 1
+            if hcount == 2:
+                return True
+    return False
+
+
+def is_rss_ext(url: str) -> bool:
+    """Url::isRSSFormat (Url.cpp:2268-2284): path extension is
+    rss/xml/rdf, except wlwmanifest/foaf paths."""
+    path = urlnorm.get_path_cgi(url).split("?")[0]
+    last = path.rsplit("/", 1)[-1]
+    if "." not in last:
+        return False
+    ext = last.rsplit(".", 1)[-1].lower()
+    if ext not in ("rss", "xml", "rdf"):
+        return False
+    if "wlwmanifest" in path or "foaf" in path:
+        return False
+    return True
+
+
+def is_ping_server(url: str) -> bool:
+    """isPingServer (Url.cpp:2297-2305): weblogs.com-style ping endpoints
+    (the reference needles rpc.weblogs.com/shortChanges.xml)."""
+    return "rpc.weblogs.com/" in url
 
 
 def get_title(html: str, max_len: int = 256) -> str:

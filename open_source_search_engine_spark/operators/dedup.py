@@ -22,7 +22,7 @@ cross product; exact verification runs per-bucket.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -69,11 +69,45 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def bucket_pairs(banded: DataFrame, id_col: str = "doc_id",
+                 bucket_cap: int = 64) -> DataFrame:
+    """Candidate pairs from (band, bucket) membership with a DEGENERATE-
+    BUCKET CAP: buckets up to ``bucket_cap`` members emit all pairs
+    (exact LSH); larger buckets emit STAR pairs to the bucket's min-id
+    member — O(n) instead of O(n²) per bucket, preserving the
+    connected-component structure dedup needs.  Without the cap, one
+    boilerplate bucket (empty docs, shared headers) goes quadratic at
+    corpus scale."""
+    w = Window.partitionBy("band", "bucket")
+    sized = (banded
+             .withColumn("_n", F.count(F.lit(1)).over(w))
+             .withColumn("_rn", F.row_number().over(
+                 w.orderBy(F.asc(id_col)))))
+    small = sized.filter(F.col("_n") <= bucket_cap) \
+        .select(id_col, "band", "bucket")
+    left = small.alias("l")
+    right = small.alias("r")
+    all_pairs = (left.join(right, ["band", "bucket"])
+                 .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+                 .select(F.col(f"l.{id_col}").alias("id_a"),
+                         F.col(f"r.{id_col}").alias("id_b")))
+    big = sized.filter(F.col("_n") > bucket_cap)
+    reps = (big.filter(F.col("_rn") == 1)
+            .select("band", "bucket", F.col(id_col).alias("id_a")))
+    star = (big.filter(F.col("_rn") > 1)
+            .select("band", "bucket", F.col(id_col).alias("id_b"))
+            .join(reps, ["band", "bucket"])
+            .select("id_a", "id_b"))
+    return all_pairs.unionByName(star).distinct()
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
-                           bands: int = 4, shingle_n: int = 5) -> DataFrame:
+                           bands: int = 4, shingle_n: int = 5,
+                           bucket_cap: int = 64) -> DataFrame:
     """Band the signature, bucket-join: docs sharing any band bucket are
-    near-dup candidates. Returns (id_a, id_b) with id_a < id_b."""
+    near-dup candidates. Returns (id_a, id_b) with id_a < id_b.  Bucket
+    self-join is bounded by ``bucket_cap`` (see bucket_pairs)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
     band_cols = []
@@ -85,13 +119,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     banded = (sig.select(id_col, F.explode(F.array(*band_cols))
                          .alias("bb"))
               .select(id_col, "bb.band", "bb.bucket"))
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (left.join(right, ["band", "bucket"])
-            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"))
-            .distinct())
+    return bucket_pairs(banded, id_col, bucket_cap)
 
 
 def simhash64(df: DataFrame, text_col: str = "text",
@@ -116,6 +144,40 @@ def simhash64(df: DataFrame, text_col: str = "text",
     for b in range(64):
         sim = sim + F.when(F.col(f"b{b}") > 0, bit(b)).otherwise(F.lit(0))
     return agg.select(id_col, sim.alias("simhash"))
+
+
+def simhash_candidates(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       bucket_cap: int = 64) -> DataFrame:
+    """SimHash near-dup pairs via Hamming-band blocking: split the 64-bit
+    signature into ``max_hamming+1`` equal bands — two signatures within
+    Hamming distance ≤ max_hamming must agree exactly on at least one band
+    (pigeonhole), so candidates come from band-equality buckets, then the
+    exact distance check is a single codegen ``bit_count(a^b)``.  Returns
+    (id_a, id_b, hamming).  Bucket joins bounded by ``bucket_cap``."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sig = simhash64(df, text_col, id_col)
+    mask = (1 << width) - 1
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftrightunsigned(F.col("simhash"), b * width)
+                 .bitwiseAND(F.lit(mask)).alias("bucket"))
+        for b in range(n_bands)
+    ]
+    banded = (sig.select(id_col, F.explode(F.array(*band_cols))
+                         .alias("bb"))
+              .select(id_col, "bb.band", "bb.bucket"))
+    pairs = bucket_pairs(banded, id_col, bucket_cap)
+    a = sig.select(F.col(id_col).alias("id_a"),
+                   F.col("simhash").alias("_sa"))
+    b = sig.select(F.col(id_col).alias("id_b"),
+                   F.col("simhash").alias("_sb"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .withColumn("hamming",
+                        F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,

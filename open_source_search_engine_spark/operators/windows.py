@@ -58,10 +58,11 @@ def salted_topk_per_key(df: DataFrame, key: str, order_by: list[Column],
                         rank_col: str = "rank") -> DataFrame:
     """Two-phase top-K for skewed keys: rank within (key, salt) keeping k,
     then re-rank the ≤ salt_buckets*k survivors per key.  First phase
-    spreads a hot key over ``salt_buckets`` reducers."""
+    spreads a hot key over ``salt_buckets`` reducers.  The salt hashes the
+    ROW (all columns), not monotonically_increasing_id, so the plan is
+    deterministic across task retries/repartitions."""
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns
-                                     if c == key] + [F.monotonically_increasing_id()]),
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
                         F.lit(salt_buckets)))
     w1 = Window.partitionBy(key, "_salt").orderBy(*order_by)
     pre = (salted.withColumn("_r1", F.row_number().over(w1))

@@ -45,9 +45,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
 import pandas as pd
 
-from ..kernel import extract, gbhash, robots, urlfilter, urlnorm
+from ..kernel import extract, gbhash, robots, sitelist, urlfilter, urlnorm
 
 
 @dataclass
@@ -60,6 +61,16 @@ class CrawlConfig:
     rounds: int = 5
     t0_ms: int = 1_600_000_000_000
     use_bloom: bool = False  # C5 pre-filter routing (parity-neutral)
+    site_list: str = ""      # insitelist patterns (PageBasic.cpp:471)
+    # D6 concurrency caps: simulated download duration.  0 (default) =
+    # instantaneous fetches — concurrent-outstanding counts are always 0,
+    # exactly like the reference with sub-wait fetch times, so
+    # ip_max_spiders / max_spiders never bind.  >0 = each fetch occupies
+    # its IP for fetch_duration_ms; then ip_max_spiders bounds per-IP
+    # concurrency (Spider.cpp:6084-6242) and max_spiders bounds per-rule
+    # in-flight slots (Spider.cpp:9254), batch-modeled as
+    # max_spiders * ceil(round_ms/duration) schedulable per rule per round.
+    fetch_duration_ms: int = 0
 
 
 @dataclass
@@ -71,6 +82,7 @@ class Request:
     hop_count: int
     added_time_ms: int
     discovery_time_ms: int
+    domain: str = ""
     is_addurl: bool = False
     is_injected: bool = False
     is_reindex: bool = False
@@ -79,6 +91,12 @@ class Request:
     parent_is_rss: bool = False
     parent_is_sitemap: bool = False
     page_num_inlinks: int = 0
+    # SpiderRequest flag bits (Spider.h:592-698)
+    is_rss: bool = False
+    is_new_outlink: bool = False
+    was_parent_indexed: bool = False
+    is_docid_based: bool = False
+    has_authority_inlink: bool = False
 
 
 @dataclass
@@ -91,6 +109,18 @@ class Reply:
     http_status: int
     is_indexed: bool
     lang: str = ""
+    content_hash32: int = 0               # m_contentHash32 (Spider.h:869)
+    percent_changed_per_day: float = 0.0  # Spider.h:846
+
+
+def content_hash32(html) -> int:
+    """Shared spec with udfs.content_hash32_udf: gb hash32 over utf-8
+    bytes, as signed int32."""
+    if html is None:
+        return 0
+    if isinstance(html, str):
+        html = html.encode("utf-8", "replace")
+    return np.int32(np.uint32(gbhash.hash32(html))).item()
 
 
 @dataclass
@@ -114,6 +144,12 @@ class OracleCrawler:
         self.hostmeta = {r.host: r for r in hostmeta.itertuples()}
         self.state = OracleState()
         self._robots_cache: dict[str, tuple[str, int]] = {}
+        self.site_list = sitelist.parse(
+            getattr(self.cfg, "site_list", ""))
+        self._rule_kws = set()
+        for r in self.cfg.rules:
+            for t in urlfilter.parse_expression(r.expression):
+                self._rule_kws.add(t.keyword)
         for r in seeds.itertuples():
             self.add_request(r.url, hop=0, added_ms=int(r.added_time_ms),
                              rnd=0, is_addurl=True)
@@ -121,7 +157,8 @@ class OracleCrawler:
     # ------------------------------------------------------------------
     def add_request(self, raw_url: str, hop: int, added_ms: int, rnd: int,
                     is_addurl: bool = False, parent_host: str = "",
-                    parent_domain: str = "") -> bool:
+                    parent_domain: str = "", is_rss: bool = False,
+                    from_harvest: bool = False) -> bool:
         url = urlnorm.canonicalize(raw_url)
         if not url:
             return False
@@ -136,10 +173,12 @@ class OracleCrawler:
         dom = urlnorm.get_domain(host)
         self.state.requests.append(Request(
             url=url, uh48=h, first_ip=int(hm.first_ip), host=host,
-            hop_count=hop, added_time_ms=added_ms,
+            domain=dom, hop_count=hop, added_time_ms=added_ms,
             discovery_time_ms=added_ms, is_addurl=is_addurl,
             same_host=(host == parent_host),
             same_dom=(dom != "" and dom == parent_domain),
+            is_rss=is_rss, is_new_outlink=from_harvest,
+            was_parent_indexed=from_harvest,
         ))
         return True
 
@@ -151,11 +190,16 @@ class OracleCrawler:
     def run_round(self, rnd: int) -> int:
         cfg = self.cfg
         now_ms = cfg.t0_ms + rnd * cfg.round_ms
-        # 1. latest reply per uh48
+        # 1. latest reply per uh48 (tiebreaker tuple matches the Spark
+        # argmax struct: deterministic under same-ms duplicate replies)
         latest: dict[int, Reply] = {}
         for rep in self.state.replies:
             cur = latest.get(rep.uh48)
-            if cur is None or rep.spidered_time_ms > cur.spidered_time_ms:
+            if cur is None or \
+                    (rep.spidered_time_ms, rep.err_code, rep.err_count,
+                     rep.http_status) > \
+                    (cur.spidered_time_ms, cur.err_code, cur.err_count,
+                     cur.http_status):
                 latest[rep.uh48] = rep
         # 2. dedup requests per uh48
         by_uh: dict[int, Request] = {}
@@ -168,16 +212,37 @@ class OracleCrawler:
                 by_uh[rq.uh48] = rq
             elif cur is not None:
                 cur.is_addurl = cur.is_addurl or rq.is_addurl
+        # quota tables (F2, Spider.cpp:4355-4426) — only when a rule reads
+        # them; votes = deduped requests whose LATEST reply is indexed
+        kws = self._rule_kws
+        site_pages: dict[str, int] = {}
+        dom_pages: dict[str, int] = {}
+        seed_count: dict[str, int] = {}
+        if kws & {"sitepages", "domainpages", "seedcount"}:
+            for rq in by_uh.values():
+                rep = latest.get(rq.uh48)
+                if rep is not None and rep.is_indexed:
+                    site_pages[rq.host] = site_pages.get(rq.host, 0) + 1
+                    dom_pages[rq.domain] = dom_pages.get(rq.domain, 0) + 1
+                if rq.is_addurl or rq.is_injected:
+                    seed_count[rq.host] = seed_count.get(rq.host, 0) + 1
+
         # 3-6. evaluate + politeness + due + winners per IP
         per_ip: dict[int, list] = {}
         for rq in by_uh.values():
-            # B1 corruption filter: reject far-future added times
-            # (Spider.cpp:4495-4512)
+            # B1 corruption/sanity filter (Spider.cpp:4471-4512):
+            # http(s) prefix, record size, far-future added time
+            if not rq.url.startswith("http") or len(rq.url) > 1024:
+                continue
             if rq.added_time_ms > now_ms + 86_400_000:
                 continue
             rep = latest.get(rq.uh48)
+            hm = self.hostmeta.get(rq.host)
+            sni = int(getattr(hm, "site_num_inlinks", 0) or 0) \
+                if hm is not None else 0
             ctx = urlfilter.build_context(
-                dict(url=rq.url, host=rq.host, hop_count=rq.hop_count,
+                dict(url=rq.url, host=rq.host, domain=rq.domain,
+                     hop_count=rq.hop_count,
                      added_time=rq.added_time_ms // 1000,
                      discovery_time=rq.discovery_time_ms // 1000,
                      is_addurl=rq.is_addurl, is_injected=rq.is_injected,
@@ -185,6 +250,14 @@ class OracleCrawler:
                      same_host=rq.same_host,
                      parent_is_rss=rq.parent_is_rss,
                      parent_is_sitemap=rq.parent_is_sitemap,
+                     is_rss=rq.is_rss, is_new_outlink=rq.is_new_outlink,
+                     was_parent_indexed=rq.was_parent_indexed,
+                     is_docid_based=rq.is_docid_based,
+                     has_authority_inlink=rq.has_authority_inlink,
+                     site_pages=site_pages.get(rq.host, 0),
+                     domain_pages=dom_pages.get(rq.domain, 0),
+                     seed_count=seed_count.get(rq.host, 0),
+                     site_num_inlinks=sni,
                      page_num_inlinks=min(
                          20, len(self.state.inlink_cblocks.get(rq.uh48,
                                                                ()))),
@@ -192,8 +265,9 @@ class OracleCrawler:
                 None if rep is None else dict(
                     err_code=rep.err_code, err_count=rep.err_count,
                     http_status=rep.http_status, is_indexed=rep.is_indexed,
+                    percent_changed_per_day=rep.percent_changed_per_day,
                     spidered_time=rep.spidered_time_ms // 1000),
-                now_ms // 1000)
+                now_ms // 1000, site_list=self.site_list)
             idx = urlfilter.evaluate(cfg.rules, ctx)
             rule = cfg.rules[idx]
             if rule.force_delete or rule.max_spiders == 0:
@@ -216,26 +290,51 @@ class OracleCrawler:
             if st > now_ms:
                 continue  # not due
             per_ip.setdefault(rq.first_ip, []).append(
-                (rule.priority, rq.hop_count, st, rq.uh48, rq, rule, cd_ms))
-        # 6-7. winners + spacing
+                (rule.priority, rq.hop_count, st, rq.uh48, rq, rule, cd_ms,
+                 idx))
+        # 6-7. winners + spacing (+ D6 per-IP concurrency cap when a fetch
+        # duration is modeled: start_j >= start_{j-k} + d for k =
+        # ip_max_spiders, Spider.cpp:6084-6242)
+        d = getattr(cfg, "fetch_duration_ms", 0)
         candidates = []
         for ip, rows in per_ip.items():
             rows.sort(key=lambda t: (-t[0], t[1], t[2], t[3]))
             rows = rows[: cfg.winner_k]
-            t = now_ms
-            for (pri, hop, st, uh, rq, rule, cd_ms) in rows:
-                eff = max(rule.ip_wait_ms, cd_ms)
+            starts: list[int] = []
+            prev_eff = 0
+            for (pri, hop, st, uh, rq, rule, cd_ms, ridx) in rows:
+                t = now_ms if not starts else starts[-1] + prev_eff
+                if d > 0:
+                    k = max(1, rule.ip_max_spiders)
+                    if len(starts) >= k:
+                        t = max(t, starts[len(starts) - k] + d)
                 if t >= now_ms + cfg.round_ms:
                     break
-                candidates.append((pri, t, uh, rq, rule, cd_ms))
-                t += eff
-        # 8. global order + budget
+                starts.append(t)
+                candidates.append((pri, t, uh, rq, rule, cd_ms, ridx))
+                prev_eff = max(rule.ip_wait_ms, cd_ms)
+        # 8. global order (+ D6 per-rule slots when d>0: max_spiders
+        # concurrent slots × ceil(round/d) schedulable per rule per round,
+        # Spider.cpp:9254) + budget
         candidates.sort(key=lambda c: (-c[0], c[1], c[2]))
+        if d > 0:
+            slots = -(-cfg.round_ms // d)  # ceil
+            rule_counts: dict[int, int] = {}
+            kept = []
+            for c in candidates:
+                ridx = c[6]
+                cap = cfg.rules[ridx].max_spiders * slots
+                if rule_counts.get(ridx, 0) >= cap:
+                    continue
+                rule_counts[ridx] = rule_counts.get(ridx, 0) + 1
+                kept.append(c)
+            candidates = kept
         scheduled = candidates[: cfg.budget]
         # 9-11. fetch + harvest + state updates
         n_ok = n_err = n_new = 0
         ip_max_fetch: dict[int, int] = {}
-        for seq, (pri, ftime, uh, rq, rule, cd_ms) in enumerate(scheduled):
+        for seq, (pri, ftime, uh, rq, rule, cd_ms, _ridx) in \
+                enumerate(scheduled):
             self.state.schedule.append(dict(
                 round=rnd, seq=seq, url=rq.url, uh48=uh,
                 first_ip=rq.first_ip, priority=pri,
@@ -252,10 +351,21 @@ class OracleCrawler:
                     is_indexed=False))
             else:
                 n_ok += 1
+                # m_contentHash32 + m_percentChangedPerDay (Spider.h:846):
+                # hash delta vs the previous fetch over elapsed days
+                ch = content_hash32(page.html)
+                pcd = 0.0
+                if (prev is not None and prev.spidered_time_ms > 0 and
+                        prev.content_hash32 != 0 and
+                        ch != prev.content_hash32 and
+                        ftime - prev.spidered_time_ms > 0):
+                    pcd = 100.0 / ((ftime - prev.spidered_time_ms)
+                                   / 86400000.0)
                 self.state.replies.append(Reply(
                     uh48=uh, first_ip=rq.first_ip, spidered_time_ms=ftime,
                     err_code=0, err_count=0, http_status=200,
-                    is_indexed=True, lang=page.lang))
+                    is_indexed=True, lang=page.lang, content_hash32=ch,
+                    percent_changed_per_day=pcd))
                 if rule.harvest_links:
                     html = page.html.decode("utf-8") \
                         if isinstance(page.html, (bytes, bytearray)) \
@@ -279,7 +389,8 @@ class OracleCrawler:
                         if self.add_request(
                                 ln.url, hop=rq.hop_count + 1,
                                 added_ms=ftime, rnd=rnd,
-                                parent_host=rq.host, parent_domain=pdom):
+                                parent_host=rq.host, parent_domain=pdom,
+                                is_rss=bool(ln.is_rss), from_harvest=True):
                             n_new += 1
             ip_max_fetch[rq.first_ip] = max(
                 ip_max_fetch.get(rq.first_ip, 0), ftime)

@@ -47,7 +47,13 @@ class ParsedQuery:
     phrases: list[list[str]] = field(default_factory=list)
     fields: dict[str, str] = field(default_factory=dict)
     sort_by: str | None = None
+    sort_asc: bool = True      # gbsortby sorts low→high (Query.cpp:2556);
+    # gbrevsortby[int] flips it
     facet_by: str | None = None
+    # gbmin:/gbmax:/gbequal: numeric range constraints on the sort field
+    # termlist (FIELD_GBNUMBERMIN/MAX/EQUALFLOAT + INT twins,
+    # Query.cpp:2557-2573): list of (field, op, value)
+    num_filters: list = field(default_factory=list)
 
 
 def parse(q: str, synonyms: dict[str, list[str]] | None = None
@@ -74,8 +80,18 @@ def parse(q: str, synonyms: dict[str, list[str]] | None = None
         fm = FIELD_RE.match(low)
         if fm:
             key, val = fm.groups()
-            if key == "gbsortby":
-                pq.sort_by = val
+            if key in ("gbsortby", "gbsortbyint"):
+                pq.sort_by, pq.sort_asc = val, True
+            elif key in ("gbrevsortby", "gbrevsortbyint"):
+                pq.sort_by, pq.sort_asc = val, False
+            elif key in ("gbmin", "gbminint", "gbmax", "gbmaxint",
+                         "gbequal", "gbequalint"):
+                # gbmin:price:1.23 (Query.cpp:2614 firstColon split)
+                fld, _, num = val.partition(":")
+                if num:
+                    op = {"gbmin": ">=", "gbmax": "<=",
+                          "gbequal": "=="}[key.replace("int", "")]
+                    pq.num_filters.append((fld, op, float(num)))
             elif key == "gbfacetstr":
                 pq.facet_by = val
             else:
@@ -150,6 +166,14 @@ def run_query(q: str, docs: DataFrame, postings: DataFrame, k: int = 10,
             enriched = enriched.filter(F.lower(F.col(key)) == val)
         elif key == "url" and "url" in docs.columns:
             enriched = enriched.filter(F.col("url").contains(val))
+    # gbmin:/gbmax:/gbequal: numeric constraints (Query.cpp:2557-2573)
+    for fld, op, num in pq.num_filters:
+        if fld not in docs.columns:
+            continue
+        c = F.col(fld).cast("double")
+        enriched = enriched.filter(
+            c >= num if op == ">=" else (c <= num if op == "<="
+                                         else c == num))
     if pq.facet_by:
         return (enriched.groupBy(pq.facet_by)
                 .agg(F.count(F.lit(1)).alias("n"))
@@ -169,5 +193,7 @@ def run_query(q: str, docs: DataFrame, postings: DataFrame, k: int = 10,
             .withColumn("best_pos", F.lit(0))
     out = scored.join(docs, "doc_id")
     if pq.sort_by and pq.sort_by in docs.columns:
-        return out.orderBy(F.desc(pq.sort_by), F.asc("doc_id")).limit(k)
+        order = (F.asc(pq.sort_by) if pq.sort_asc
+                 else F.desc(pq.sort_by))
+        return out.orderBy(order, F.asc("doc_id")).limit(k)
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

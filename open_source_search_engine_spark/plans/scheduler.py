@@ -41,16 +41,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import filters as Fc
+from ..kernel import sitelist as sitelist_mod
+from ..operators import budget as budget_ops
 from ..operators import windows as windows_ops
 from ..functions import udfs
 from ..oracle.crawler import CrawlConfig
 from ..sources.snapstore import SnapshotTable
+
+
+def path_cgi_col(url):
+    """path+query of a canonical url as a pure Column expression — the
+    robots match subject (urlnorm.get_path_cgi twin; parity-tested against
+    the Python kernel in tests/test_spark_udfs.py)."""
+    p = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
 
 REQUEST_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
     T.StructField("uh48", T.LongType()),
     T.StructField("first_ip", T.LongType()),
     T.StructField("host", T.StringType()),
+    T.StructField("domain", T.StringType()),
     T.StructField("hop_count", T.IntegerType()),
     T.StructField("added_time_ms", T.LongType()),
     T.StructField("discovery_time_ms", T.LongType()),
@@ -62,6 +73,12 @@ REQUEST_SCHEMA = T.StructType([
     T.StructField("parent_is_rss", T.BooleanType()),
     T.StructField("parent_is_sitemap", T.BooleanType()),
     T.StructField("page_num_inlinks", T.IntegerType()),
+    # SpiderRequest flag bits, Spider.h:592-698
+    T.StructField("is_rss", T.BooleanType()),          # m_isRSS (via link)
+    T.StructField("is_new_outlink", T.BooleanType()),  # m_isNewOutlink
+    T.StructField("was_parent_indexed", T.BooleanType()),
+    T.StructField("is_docid_based", T.BooleanType()),
+    T.StructField("has_authority_inlink", T.BooleanType()),
 ])
 
 REPLY_SCHEMA = T.StructType([
@@ -73,6 +90,9 @@ REPLY_SCHEMA = T.StructType([
     T.StructField("http_status", T.IntegerType()),
     T.StructField("is_indexed", T.BooleanType()),
     T.StructField("lang", T.StringType()),
+    # m_contentHash32 + m_percentChangedPerDay (Spider.h:846,869)
+    T.StructField("content_hash32", T.IntegerType()),
+    T.StructField("percent_changed_per_day", T.DoubleType()),
 ])
 
 
@@ -94,7 +114,30 @@ class CrawlDriver:
         self.t_metrics = SnapshotTable(os.path.join(workdir, "metrics"))
         self.pages = spark.read.parquet(pages_path)
         self.hostmeta = spark.read.parquet(hostmeta_path)
-        self._robots_udf = udfs.make_robots_udf(self.cfg.user_agent)
+        self.site_list = sitelist_mod.parse(
+            getattr(self.cfg, "site_list", ""))
+        self._rule_kws = Fc.used_keywords(self.cfg.rules)
+        # robots cache: parse robots.txt ONCE per host into an effective
+        # Disallow-prefix table (the reference's 24h per-host robots cache,
+        # Msg13.cpp:590).  Per-round, candidates broadcast-join this table
+        # and run prefix matching only — the parse UDF executes over
+        # |hosts| rows at init, never over |candidates| per round.
+        self.t_robots = SnapshotTable(os.path.join(workdir, "robots_rules"))
+        if not self.t_robots.exists():
+            rules_udf = udfs.make_robots_rules_udf(self.cfg.user_agent)
+            host_rules = (
+                self.hostmeta
+                .select("host",
+                        rules_udf(
+                            F.col("robots_txt"),
+                            F.coalesce(F.col("robots_status"), F.lit(404))
+                            .cast("int")).alias("_rr"))
+                .select("host",
+                        F.col("_rr.disallow").alias("robots_disallow"),
+                        F.col("_rr.crawl_delay_ms").alias("crawl_delay_ms"))
+            )
+            self.t_robots.overwrite(host_rules, {"source": "robots_parse"})
+        self.host_rules = self.t_robots.read(spark)
 
     # ------------------------------------------------------------------
     def seed(self, seeds_path: str) -> int:
@@ -114,6 +157,7 @@ class CrawlDriver:
                 "url", "uh48",
                 F.col("first_ip").cast("long").alias("first_ip"),
                 "host",
+                udfs.domain_udf(F.col("host")).alias("domain"),
                 F.lit(0).alias("hop_count"),
                 F.col("added_time_ms").cast("long"),
                 F.col("added_time_ms").cast("long")
@@ -126,6 +170,11 @@ class CrawlDriver:
                 F.lit(False).alias("parent_is_rss"),
                 F.lit(False).alias("parent_is_sitemap"),
                 F.lit(0).alias("page_num_inlinks"),
+                F.lit(False).alias("is_rss"),
+                F.lit(False).alias("is_new_outlink"),
+                F.lit(False).alias("was_parent_indexed"),
+                F.lit(False).alias("is_docid_based"),
+                F.lit(False).alias("has_authority_inlink"),
             )
             .dropDuplicates(["uh48"])
         )
@@ -154,20 +203,81 @@ class CrawlDriver:
         return (row.r or -1) + 1
 
     # ------------------------------------------------------------------
-    def run_round(self, rnd: int) -> dict:
+    def _attach_quota_columns(self, cand: DataFrame, req: DataFrame,
+                              latest_reply: DataFrame) -> DataFrame:
+        """F2 quotas (Spider.cpp:4355-4426) — built ONLY when a rule reads
+        them (the reference's m_countingPagesIndexed pre-scan,
+        Spider.cpp:3596): each deduped request whose LATEST reply is
+        indexed votes one page into its site (=host) and domain counts;
+        seedcount counts manual adds per site.  sitenuminlinks (F4) joins
+        the freshest per-site inlink score from hostmeta (tagdb analog)."""
+        kws = self._rule_kws
+        if {"sitepages", "domainpages", "seedcount",
+                "sitenuminlinks"}.isdisjoint(kws):
+            return cand
+        if "sitepages" in kws or "domainpages" in kws:
+            votes = req.join(
+                latest_reply.filter(F.col("is_indexed")).select("uh48"),
+                "uh48", "left_semi")
+            if "sitepages" in kws:
+                sp = votes.groupBy("host").agg(
+                    F.count(F.lit(1)).alias("_site_pages"))
+                cand = (cand.join(sp, "host", "left")
+                        .withColumn("site_pages",
+                                    F.coalesce("_site_pages", F.lit(0)))
+                        .drop("_site_pages"))
+            if "domainpages" in kws:
+                dp = votes.groupBy("domain").agg(
+                    F.count(F.lit(1)).alias("_dom_pages"))
+                cand = (cand.join(dp, "domain", "left")
+                        .withColumn("domain_pages",
+                                    F.coalesce("_dom_pages", F.lit(0)))
+                        .drop("_dom_pages"))
+        if "seedcount" in kws:
+            sc = (req.filter(F.col("is_addurl") | F.col("is_injected"))
+                  .groupBy("host").agg(
+                      F.count(F.lit(1)).alias("_seed_count")))
+            cand = (cand.join(sc, "host", "left")
+                    .withColumn("seed_count",
+                                F.coalesce("_seed_count", F.lit(0)))
+                    .drop("_seed_count"))
+        if "sitenuminlinks" in kws:
+            if "site_num_inlinks" in self.hostmeta.columns:
+                sni = self.hostmeta.select(
+                    "host", F.col("site_num_inlinks").alias("_sni"))
+                cand = (cand.join(F.broadcast(sni), "host", "left")
+                        .withColumn("site_num_inlinks",
+                                    F.coalesce("_sni", F.lit(0)))
+                        .drop("_sni"))
+            else:
+                cand = cand.withColumn("site_num_inlinks", F.lit(0))
+        return cand
+
+    # ------------------------------------------------------------------
+    def _candidates(self, requests: DataFrame, replies: DataFrame,
+                    ip_state: DataFrame, now_ms: int) -> DataFrame:
+        """Steps 1-7 of the round as ONE lazy plan: dedup + latest-reply +
+        rule chain + robots + politeness + winners + spacing.  Exposed for
+        plan-shape tests (the hot path must contain no Python except the
+        Arrow-batched robots prefix-match)."""
         cfg = self.cfg
-        now_ms = cfg.t0_ms + rnd * cfg.round_ms
-        requests, replies, ip_state = self._read_state()
 
         # ---- 1. latest reply per uh48 (G1 sort-merge analog) ----------
-        # groupBy + max_by: map-side partial combine, no window sort
+        # groupBy + max_by: map-side partial combine, no window sort.
+        # Tiebreaker beyond spidered_time_ms: (err_code, err_count,
+        # http_status) struct order — same-millisecond duplicate replies
+        # resolve deterministically (the oracle compares the same tuple).
         latest_reply = (
-            windows_ops.argmax_per_key(replies, "uh48",
-                                       ["spidered_time_ms"], desc=True)
+            windows_ops.argmax_per_key(
+                replies, "uh48",
+                ["spidered_time_ms", "err_code", "err_count",
+                 "http_status"], desc=True)
             .select("uh48",
                     F.col("spidered_time_ms").alias("last_spidered_ms"),
                     "err_code", "err_count", "http_status", "is_indexed",
-                    F.col("lang").alias("reply_lang"))
+                    F.col("lang").alias("reply_lang"),
+                    F.col("content_hash32").alias("prev_content_hash32"),
+                    F.col("percent_changed_per_day").alias("_pcd"))
         )
 
         # ---- 2. request dedup per uh48 (C2 merge-dedup analog) --------
@@ -197,12 +307,15 @@ class CrawlDriver:
                               .alias("_n_inlinks")))
 
         # ---- 3. rule table (compiled F.when chain) --------------------
+        now_s = now_ms // 1000
         cand = (
             req
-            # B1 corruption filter: reject far-future added times
-            # (Spider.cpp:4495-4512)
-            .filter(F.col("added_time_ms") <=
-                    F.lit(now_ms + 86_400_000))
+            # B1 corruption/sanity filter (Spider.cpp:4471-4512): http(s)
+            # prefix, record-size (url length) bound, far-future added time
+            .filter(F.col("url").startswith("http") &
+                    (F.length("url") <= 1024) &
+                    (F.col("added_time_ms") <=
+                     F.lit(now_ms + 86_400_000)))
             .drop("page_num_inlinks")
             .join(inlink_counts, "uh48", "left")
             .withColumn("page_num_inlinks",
@@ -212,26 +325,43 @@ class CrawlDriver:
             .withColumn("has_reply", F.col("last_spidered_ms").isNotNull())
             .withColumn("tld", udfs.tld_udf(F.col("host")))
             .withColumn("lang", F.coalesce("reply_lang", F.lit("")))
+            # second-granularity rule inputs — integer floor division to
+            # match the oracle's //1000 (build_context)
             .withColumn("last_spider_time",
-                        F.coalesce(F.col("last_spidered_ms") / 1000,
-                                   F.lit(0)))
+                        F.coalesce(F.floor(F.col("last_spidered_ms")
+                                           / 1000), F.lit(0)))
+            .withColumn("url_age",
+                        F.greatest(
+                            F.lit(0).cast("long"),
+                            F.lit(now_s) -
+                            F.floor(F.col("discovery_time_ms") / 1000)))
+            .withColumn("spider_waited",
+                        F.when(F.col("has_reply"),
+                               F.greatest(F.lit(0).cast("long"),
+                                          F.lit(now_s) -
+                                          F.col("last_spider_time")))
+                        .otherwise(F.lit(0)))
+            .withColumn("percent_changed_per_day",
+                        F.coalesce(F.col("_pcd"), F.lit(0.0)))
         )
-        cand = Fc.with_rule_outputs(cand, self.spark, cfg.rules)
+        cand = self._attach_quota_columns(cand, req, latest_reply)
+        cand = Fc.with_rule_outputs(cand, self.spark, cfg.rules,
+                                    self.site_list)
         cand = cand.filter(~F.col("force_delete") &
                            (F.col("max_spiders") > 0))
 
-        # ---- 4. robots + crawl delay (broadcast hostmeta) -------------
+        # ---- 4. robots + crawl delay (broadcast PRE-PARSED rules) -----
+        # host_rules holds effective Disallow prefixes parsed once per
+        # host at init; the per-url check is an Arrow-batched prefix
+        # match — no robots parsing in the per-candidate path.
         cand = (
-            cand.join(F.broadcast(self.hostmeta.select(
-                "host", "robots_txt", "robots_status")), "host", "left")
-            .withColumn("_rob", self._robots_udf(
-                F.col("robots_txt"),
-                F.coalesce(F.col("robots_status"), F.lit(404)),
-                F.col("url")))
-            .filter(F.col("_rob.allowed"))
+            cand.join(F.broadcast(self.host_rules), "host", "left")
+            .withColumn("_allowed", udfs.robots_match_udf(
+                F.col("robots_disallow"), path_cgi_col(F.col("url"))))
+            .filter(F.col("_allowed"))
             .withColumn("crawl_delay_ms",
-                        F.col("_rob.crawl_delay_ms").cast("long"))
-            .drop("robots_txt", "robots_status", "_rob")
+                        F.col("crawl_delay_ms").cast("long"))
+            .drop("robots_disallow", "_allowed")
         )
 
         # ---- 5. politeness / spider time (getSpiderTimeMS) ------------
@@ -264,51 +394,133 @@ class CrawlDriver:
             .filter(F.col("spider_time_ms") <= F.lit(now_ms))
         )
 
-        # ---- 6. winners per IP (D2 window) + 7. spacing (D7) ----------
+        # ---- 6. winners per IP (D2 window) + 7. spacing (D7/D6) -------
         w_ip = Window.partitionBy("first_ip").orderBy(
             F.desc(F.col("priority")), F.asc("hop_count"),
             F.asc("spider_time_ms"), F.asc("uh48"))
-        w_ip_cum = w_ip.rowsBetween(Window.unboundedPreceding, -1)
-        cand = (
-            cand
-            .withColumn("_rank", F.row_number().over(w_ip))
-            .filter(F.col("_rank") <= cfg.winner_k)
-            .withColumn("eff_delay",
-                        F.greatest(F.col("ip_wait_ms").cast("long"),
-                                   F.col("crawl_delay_ms")))
-            .withColumn("fetch_time_ms",
-                        F.lit(now_ms) +
-                        F.coalesce(F.sum("eff_delay").over(w_ip_cum),
-                                   F.lit(0)))
-            .filter(F.col("fetch_time_ms") < F.lit(now_ms + cfg.round_ms))
-        )
+        cand = (cand.withColumn("_rank", F.row_number().over(w_ip))
+                .filter(F.col("_rank") <= cfg.winner_k))
+        d = getattr(cfg, "fetch_duration_ms", 0)
+        if d <= 0:
+            # instantaneous fetches: per-IP spacing is a pure cumsum
+            # window (codegen hot path); concurrency caps never bind —
+            # same as the reference when downloads finish inside the wait
+            w_ip_cum = w_ip.rowsBetween(Window.unboundedPreceding, -1)
+            cand = (
+                cand
+                .withColumn("eff_delay",
+                            F.greatest(F.col("ip_wait_ms").cast("long"),
+                                       F.col("crawl_delay_ms")))
+                .withColumn("fetch_time_ms",
+                            F.lit(now_ms) +
+                            F.coalesce(F.sum("eff_delay").over(w_ip_cum),
+                                       F.lit(0)))
+                .filter(F.col("fetch_time_ms") <
+                        F.lit(now_ms + cfg.round_ms))
+            )
+        else:
+            # D6 concurrency caps: with a modeled download duration d the
+            # j-th start per IP obeys the max-plus recurrence
+            #   start_j = max(start_{j-1} + eff_{j-1}, start_{j-k_j} + d),
+            # k_j = the row's rule ip_max_spiders (Spider.cpp:6084-6242).
+            # Sequential per IP by construction (so is the reference's
+            # dole loop) → applyInPandas per IP; groups are bounded by
+            # winner_k, so no task sees more than winner_k rows.
+            cand = self._space_with_ip_cap(cand, now_ms, d)
+            # per-rule slots (Spider.cpp:9254): max_spiders concurrent ×
+            # ceil(round/d) per round, taken in global (fetch_time, uh48)
+            # order within each rule (priority is constant per rule).
+            slots = -(-cfg.round_ms // d)
+            caps = F.array(*[F.lit(int(r.max_spiders) * slots)
+                             for r in cfg.rules])
+            w_rule = Window.partitionBy("rule_idx").orderBy(
+                F.asc("fetch_time_ms"), F.asc("uh48"))
+            cand = (cand
+                    .withColumn("_rrank", F.row_number().over(w_rule))
+                    .filter(F.col("_rrank") <=
+                            F.element_at(caps, F.col("rule_idx") + 1))
+                    .drop("_rrank"))
+        return cand
+
+    def _space_with_ip_cap(self, cand: DataFrame, now_ms: int,
+                           d: int) -> DataFrame:
+        """Cold-path politeness governor for fetch_duration_ms > 0 (see
+        _candidates).  Arrow-batched per-IP groups; ≤ winner_k rows each."""
+        cfg = self.cfg
+        out_schema = T.StructType(cand.schema.fields +
+                                  [T.StructField("fetch_time_ms",
+                                                 T.LongType())])
+        round_end = now_ms + cfg.round_ms
+
+        def space_group(pdf):
+            pdf = pdf.sort_values(
+                ["priority", "hop_count", "spider_time_ms", "uh48"],
+                ascending=[False, True, True, True])
+            starts: list[int] = []
+            keep: list[int] = []
+            prev_eff = 0
+            for pos, row in enumerate(pdf.itertuples()):
+                t = now_ms if not starts else starts[-1] + prev_eff
+                k = max(1, int(row.ip_max_spiders))
+                if len(starts) >= k:
+                    t = max(t, starts[len(starts) - k] + d)
+                if t >= round_end:
+                    break
+                starts.append(int(t))
+                keep.append(pos)
+                prev_eff = max(int(row.ip_wait_ms), int(row.crawl_delay_ms))
+            res = pdf.iloc[keep].copy()
+            res["fetch_time_ms"] = starts
+            return res
+
+        return cand.groupBy("first_ip").applyInPandas(
+            space_group, out_schema)
+
+    # ------------------------------------------------------------------
+    def run_round(self, rnd: int) -> dict:
+        cfg = self.cfg
+        now_ms = cfg.t0_ms + rnd * cfg.round_ms
+        self.spark.sparkContext.setJobGroup(
+            f"crawl-round-{rnd}", f"scheduling round {rnd}")
+        requests, replies, ip_state = self._read_state()
+        cand = self._candidates(requests, replies, ip_state, now_ms)
+
+        # every DataFrame persisted below lands in pins and is unpersisted
+        # at the end of the round — no cache accumulation across rounds
+        pins: list = []
 
         # ---- 8. global priority order + budget (doledb scan) ----------
-        scheduled = (
-            cand.orderBy(F.desc(F.col("priority")),
-                         F.asc("fetch_time_ms"), F.asc("uh48"))
-            .limit(cfg.budget)
-            .select("url", "uh48", "first_ip", "host", "hop_count",
-                    "priority", "harvest_links",
-                    "fetch_time_ms",
-                    F.coalesce("err_count", F.lit(0)).alias("prev_errs"))
-            .coalesce(1)
-            .withColumn(
-                "seq",
-                F.row_number().over(
-                    Window.orderBy(F.desc("priority"),
-                                   F.asc("fetch_time_ms"),
-                                   F.asc("uh48"))) - 1)
-        ).cache()
-        n_sched = scheduled.count()
+        # band-pruned budget (only the boundary priority band is sorted,
+        # operators/budget.py) + distributed seq stamping (range-partition
+        # + per-partition offsets) — no coalesce(1), no global window
+        sel = cand.select(
+            "url", "uh48", "first_ip", "host", "hop_count",
+            "priority", "harvest_links", "fetch_time_ms",
+            F.coalesce("err_count", F.lit(0)).alias("prev_errs"),
+            F.coalesce("prev_content_hash32", F.lit(0))
+            .alias("prev_hash32"),
+            F.coalesce("last_spidered_ms", F.lit(0).cast("long"))
+            .alias("prev_spidered_ms"))
+        sel = budget_ops.budget_select(sel, cfg.budget, pins=pins)
+        scheduled = budget_ops.stamp_global_seq(
+            sel, [F.desc("priority"), F.asc("fetch_time_ms"),
+                  F.asc("uh48")], pins=pins)
 
         # ---- 9. fetch simulation (A4: join vs pages) -------------------
         fetched = (
             scheduled.join(self.pages.select("url", "html", "lang"),
                            "url", "left")
-        ).cache()
+        )
+        fetched = budget_ops._pin(fetched, pins)
 
-        new_replies = fetched.select(
+        # m_contentHash32 + m_percentChangedPerDay (Spider.h:846,869):
+        # hash delta vs the previous indexed fetch, per elapsed day
+        ch = F.when(F.col("html").isNotNull(),
+                    udfs.content_hash32_udf(F.col("html"))) \
+            .otherwise(F.lit(0))
+        days_frac = ((F.col("fetch_time_ms") - F.col("prev_spidered_ms"))
+                     .cast("double") / F.lit(86400000.0))
+        new_replies = fetched.withColumn("_ch", ch).select(
             "uh48", "first_ip",
             F.col("fetch_time_ms").alias("spidered_time_ms"),
             F.when(F.col("html").isNotNull(), F.lit(0))
@@ -319,6 +531,15 @@ class CrawlDriver:
              .otherwise(F.lit(404)).alias("http_status"),
             F.col("html").isNotNull().alias("is_indexed"),
             F.coalesce("lang", F.lit("")).alias("lang"),
+            F.col("_ch").alias("content_hash32"),
+            F.when(F.col("html").isNotNull() &
+                   (F.col("prev_spidered_ms") > 0) &
+                   (F.col("prev_hash32") != 0) &
+                   (F.col("_ch") != F.col("prev_hash32")) &
+                   ((F.col("fetch_time_ms") -
+                     F.col("prev_spidered_ms")) > 0),
+                   F.lit(100.0) / days_frac)
+             .otherwise(F.lit(0.0)).alias("percent_changed_per_day"),
         )
 
         # ---- 10. harvest outlinks (E5-E8) ------------------------------
@@ -341,6 +562,9 @@ class CrawlDriver:
             .filter(F.col("uh48") != F.col("parent_uh48"))  # self link
             .withColumn("host", udfs.host_udf(F.col("url")))
         )
+        # link extraction (Python UDF over ≤budget parents) feeds both the
+        # inlink table and the new-request path — run it once
+        exploded = budget_ops._pin(exploded, pins)
         # F3: record (uh48, parent C-block) for every surviving link whose
         # host resolves — including already-seen urls (spiderdb accumulates
         # one SpiderRequest per parent; we accumulate the count table)
@@ -386,7 +610,7 @@ class CrawlDriver:
             .select(
                 "url", "uh48",
                 F.col("first_ip").cast("long").alias("first_ip"),
-                "host",
+                "host", "domain",
                 (F.col("parent_hop") + 1).alias("hop_count"),
                 F.col("fetch_time_ms").alias("added_time_ms"),
                 F.col("fetch_time_ms").alias("discovery_time_ms"),
@@ -400,29 +624,44 @@ class CrawlDriver:
                 F.lit(False).alias("parent_is_rss"),
                 F.lit(False).alias("parent_is_sitemap"),
                 F.lit(0).alias("page_num_inlinks"),
+                F.col("link.is_rss").alias("is_rss"),
+                F.lit(True).alias("is_new_outlink"),
+                F.lit(True).alias("was_parent_indexed"),
+                F.lit(False).alias("is_docid_based"),
+                F.lit(False).alias("has_authority_inlink"),
             )
-        ).cache()
-        n_new = new_requests.count()
+        )
+        new_requests = budget_ops._pin(new_requests, pins)
 
         # ---- 11. commit state (one snapshot per table per round) ------
-        stats = new_replies.agg(
-            F.sum(F.when(F.col("err_code") == 0, 1).otherwise(0))
-            .alias("ok"),
-            F.sum(F.when(F.col("err_code") != 0, 1).otherwise(0))
-            .alias("err")).collect()[0]
-        n_ok = stats.ok or 0
-        n_err = stats.err or 0
+        # ALL per-round counters in ONE job: cross-join the three 1-row
+        # aggregates over the pinned intermediates (the reference keeps
+        # these as in-memory counters, Spider.h crawl stats; we pay one
+        # small Spark job instead of five).
+        stats = (
+            new_replies.agg(
+                F.count(F.lit(1)).alias("n_sched"),
+                F.coalesce(F.sum(F.when(F.col("err_code") == 0, 1)
+                                 .otherwise(0)), F.lit(0)).alias("ok"),
+                F.coalesce(F.sum(F.when(F.col("err_code") != 0, 1)
+                                 .otherwise(0)), F.lit(0)).alias("err"))
+            .crossJoin(new_requests.agg(F.count(F.lit(1)).alias("n_new")))
+            .crossJoin(new_inlinks.agg(F.count(F.lit(1)).alias("n_inl")))
+        ).collect()[0]
+        n_sched = stats.n_sched
+        n_ok, n_err = int(stats.ok), int(stats.err)
+        n_new, n_inl = stats.n_new, stats.n_inl
 
         self.t_replies.append(new_replies,
                               {"round": rnd, "rows": n_sched})
-        n_inl = new_inlinks.count()
         if n_inl > 0:
             self.t_inlinks.append(new_inlinks, {"round": rnd,
                                                 "rows": n_inl})
         if n_new > 0:
             self.t_requests.append(new_requests,
                                    {"round": rnd, "rows": n_new})
-        # ip_state merge (overwrite small table)
+        # ip_state merge (overwrite small table); emptiness from the
+        # manifest, not a count() job
         new_ip = (scheduled.groupBy("first_ip")
                   .agg(F.max("fetch_time_ms").alias("last_download_ms")))
         merged_ip = (
@@ -432,7 +671,7 @@ class CrawlDriver:
                         F.coalesce(ip_state.last_download_ms, F.lit(0)),
                         F.coalesce(new_ip.last_download_ms, F.lit(0)))
                     .alias("last_download_ms"))
-        ) if ip_state.count() > 0 else new_ip
+        ) if self.t_ip_state.exists() else new_ip
         self.t_ip_state.overwrite(merged_ip, {"round": rnd})
 
         self.t_schedule.append(
@@ -441,16 +680,20 @@ class CrawlDriver:
                              "fetch_time_ms"),
             {"round": rnd})
 
-        metrics = dict(round=rnd, scheduled=n_sched, fetched_ok=int(n_ok),
-                       fetch_errors=int(n_err), new_urls=int(n_new))
-        self.t_metrics.append(
-            self.spark.createDataFrame(
-                [metrics], "round int, scheduled long, fetched_ok long, "
-                "fetch_errors long, new_urls long"),
+        metrics = dict(round=rnd, scheduled=int(n_sched), fetched_ok=n_ok,
+                       fetch_errors=n_err, new_urls=int(n_new))
+        # 1-row driver-side record: pyarrow write, no Spark job
+        import pyarrow as pa
+        self.t_metrics.append_rows(
+            [metrics],
+            pa.schema([("round", pa.int32()), ("scheduled", pa.int64()),
+                       ("fetched_ok", pa.int64()),
+                       ("fetch_errors", pa.int64()),
+                       ("new_urls", pa.int64())]),
             metrics)
-        scheduled.unpersist()
-        fetched.unpersist()
-        new_requests.unpersist()
+        for p in pins:
+            p.unpersist()
+        self.spark.sparkContext.setJobGroup("", "")
         return metrics
 
     # ------------------------------------------------------------------

@@ -104,6 +104,23 @@ class SnapshotTable:
         lineage.update(metrics or {})
         return self._commit([name], "append", lineage)
 
+    def append_rows(self, rows: list[dict], schema,
+                    metrics: dict | None = None) -> int:
+        """Append a tiny driver-side row batch (e.g. the 1-row per-round
+        metrics record) without a Spark job — pyarrow parquet + the same
+        manifest commit.  ``schema`` is a pyarrow schema."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        snap_hint = self.current_snapshot() + 1
+        name = f"snap-{snap_hint:06d}"
+        out = os.path.join(self.path, name)
+        os.makedirs(out, exist_ok=True)
+        table = pa.Table.from_pylist(rows, schema=schema)
+        pq.write_table(table, os.path.join(out, "part-00000.parquet"))
+        lineage = {"files": 1}
+        lineage.update(metrics or {})
+        return self._commit([name], "append", lineage)
+
     def overwrite(self, df: DataFrame, metrics: dict | None = None) -> int:
         snap_hint = self.current_snapshot() + 1
         name, lineage = self._write_dir(df, snap_hint)

@@ -71,6 +71,8 @@ def make_hostmeta(n_hosts: int, seed: int = 42) -> pd.DataFrame:
             "first_ip": ip,
             "robots_txt": "" if tmpl is None else tmpl,
             "robots_status": 404 if tmpl is None else 200,
+            # tagdb siteNumInlinks analog (F4) — deterministic per host
+            "site_num_inlinks": (i * 7 + 3) % 50,
         })
     return pd.DataFrame(rows)
 
@@ -128,6 +130,13 @@ def _page_links(host: str, pid: int, n_pages: int, hosts: list[str],
         out.append('<a href="mailto:a@b.com">mail</a><a href="#top">top</a>')
     if pid % 11 == 0:
         out.append('<a href="/private/secret.html">priv</a>')
+    # permalink-shaped path (isPermalinky: 3+ digits / 2+ hyphens in a
+    # component, Url.cpp:2236) and rss-ext feed (Url.cpp:2268)
+    if pid % 9 == 2:
+        out.append(f'<a href="/2020/0{pid % 9}/long-story-{pid}-part-2.html"'
+                   f'>perma</a>')
+    if pid % 10 == 3:
+        out.append(f'<a href="/feed{pid}.xml">feed</a>')
     return out
 
 

@@ -47,6 +47,7 @@ def to_requests(stream: DataFrame, hostmeta: DataFrame) -> DataFrame:
         .select(
             "url", "uh48",
             F.col("first_ip").cast("long").alias("first_ip"), "host",
+            udfs.domain_udf(F.col("host")).alias("domain"),
             F.lit(0).alias("hop_count"),
             F.col("added_time_ms").cast("long"),
             F.col("added_time_ms").cast("long").alias("discovery_time_ms"),
@@ -58,6 +59,11 @@ def to_requests(stream: DataFrame, hostmeta: DataFrame) -> DataFrame:
             F.lit(False).alias("parent_is_rss"),
             F.lit(False).alias("parent_is_sitemap"),
             F.lit(0).alias("page_num_inlinks"),
+            F.lit(False).alias("is_rss"),
+            F.lit(False).alias("is_new_outlink"),
+            F.lit(False).alias("was_parent_indexed"),
+            F.lit(False).alias("is_docid_based"),
+            F.lit(False).alias("has_authority_inlink"),
         )
         .dropDuplicates(["uh48"])  # per-batch dup cache (C1)
     )

@@ -75,8 +75,29 @@ def test_phrase(corpus, postings):
 
 
 def test_gbsortby(corpus, postings):
+    # gbsortby sorts the field low→high (Query.cpp:2556 "sorts numbers in
+    # a field from low to high"); gbrevsortby flips it
     rows = run_query("engine gbsortby:n_chars", corpus, postings).collect()
+    vals = [r.n_chars for r in rows]
+    assert vals == sorted(vals)
+    rows = run_query("engine gbrevsortby:n_chars", corpus,
+                     postings).collect()
     assert [r.doc_id for r in rows][0] == 0  # longest n_chars first
+
+
+def test_gbmin_gbmax(corpus, postings):
+    all_rows = run_query("engine", corpus, postings).collect()
+    lo = min(r.n_chars for r in all_rows)
+    hi = max(r.n_chars for r in all_rows)
+    got = run_query(f"engine gbmin:n_chars:{lo + 1}", corpus,
+                    postings).collect()
+    assert got and all(r.n_chars >= lo + 1 for r in got)
+    got = run_query(f"engine gbmax:n_chars:{hi - 1}", corpus,
+                    postings).collect()
+    assert got and all(r.n_chars <= hi - 1 for r in got)
+    got = run_query(f"engine gbequal:n_chars:{hi}", corpus,
+                    postings).collect()
+    assert got and all(r.n_chars == hi for r in got)
 
 
 def test_gbfacetstr(corpus, postings):

@@ -53,6 +53,36 @@ def test_charset_detection():
     assert charset.to_utf8("日本語".encode()) == "日本語"
 
 
+def test_charset_full_iana_roundtrips():
+    """E1: the IANA name space real web HTML declares (shift-jis, gb2312,
+    koi8, euc-kr, iso-8859-*, windows-125x) must round-trip through the
+    codecs-registry resolution (iana_charset.cpp analog)."""
+    cases = [
+        ("shift_jis", "Shift_JIS", "日本語のテキスト"),
+        ("shift_jis", "x-sjis", "カタカナ"),
+        ("euc_jp", "EUC-JP", "日本語"),
+        ("gb2312", "GB2312", "中文文本"),
+        ("gbk", "GBK", "简体中文"),
+        ("big5", "Big5", "繁體中文"),
+        ("cp949", "ks_c_5601-1987", "한국어 텍스트"),
+        ("euc_kr", "EUC-KR", "한국어"),
+        ("koi8-r", "KOI8-R", "русский текст"),
+        ("cp1251", "windows-1251", "кириллица"),
+        ("iso-8859-2", "ISO-8859-2", "čeština šťastný"),
+        ("iso-8859-7", "ISO-8859-7", "ελληνικά"),
+        ("cp874", "windows-874", "ข้อความไทย"),
+        ("iso-8859-9", "ISO-8859-9", "Türkçe metin"),
+    ]
+    for codec, iana, text in cases:
+        body = f'<html><meta charset="{iana}"><body>{text}</body>'
+        raw = body.encode(codec)
+        assert charset.to_utf8(raw) == body, (iana, codec)
+    # header beats meta; unknown name falls through to heuristic
+    raw = "héllo".encode("cp1252")
+    assert charset.to_utf8(b"<meta charset='x-not-a-charset'>" + raw) \
+        .endswith("héllo")
+
+
 def test_link_loop():
     assert urlflags.is_link_loop(
         "http://x.com/a/letters/send/archive/letters/send/archive/"

@@ -1,0 +1,117 @@
+"""Keyword-closure parity (VERDICT r1 item 4): a NON-web rule profile
+exercising every url-filter keyword the oracle supports — including the
+round-2 additions (urlage/spiderwaited/percentchangedperday/retrynum/
+lastspidertime, isrssext/ispermalink/ispingserver/isrss/isnewoutlink/
+isparentindexed/isdocidbased/hasauthorityinlink, insitelist with a real
+site list, sitepages/domainpages/seedcount/sitenuminlinks quotas) — must
+produce an IDENTICAL crawl schedule from the Spark pipeline and the Python
+oracle.  This is the user-programmable-filters contract
+(Spider.cpp:11577-13510): any rule table a user writes runs on both."""
+
+import pandas as pd
+import pytest
+
+from open_source_search_engine_spark.kernel.urlfilter import Rule
+from open_source_search_engine_spark.oracle.crawler import (
+    CrawlConfig, OracleCrawler,
+)
+from open_source_search_engine_spark.plans.scheduler import CrawlDriver
+from open_source_search_engine_spark.sources import synthweb
+
+SITE_LIST = """
+# curated-crawl site list (B6)
+host000.com
+www.host003.com
+contains:host001.com/
+http://host002.com/
+-contains:/private/
+"""
+
+KEYWORD_RULES = (
+    Rule("ismedia", 100, 0, 99, 1, 1000, True, True),
+    Rule("ispingserver", 100, 0, 0, 1, 1000),
+    Rule("isdocidbased", 99, 0, 99, 1, 1000),
+    Rule("!insitelist && !ismanualadd", 98, 0, 99, 1, 1000, True, True),
+    Rule("retrynum>=1 && hastmperror", 80, 1, 9, 7, 500),
+    Rule("errorcount>=1", 3, 5, 1, 1, 1000, True, True),
+    Rule("percentchangedperday>0.0001", 75, 1, 9, 7, 500),
+    Rule("spiderwaited>=1200 && isindexed", 70, 1, 9, 7, 500),
+    Rule("isrssext && isnew", 68, 7, 9, 7, 500),
+    Rule("ispermalink && isnewoutlink", 66, 7, 9, 7, 500),
+    Rule("hasauthorityinlink", 64, 7, 9, 7, 500),
+    Rule("isrss && isnew", 62, 7, 9, 7, 500),
+    Rule("isparentindexed && hopcount>=2", 60, 7, 9, 7, 500),
+    Rule("matchesucp /p[0-2]\\.html", 58, 7, 9, 7, 500),
+    Rule("sitenuminlinks>=30 && isnew", 55, 7, 9, 7, 500),
+    Rule("sitepages>3", 50, 30, 9, 7, 500),
+    Rule("domainpages>5", 48, 30, 9, 7, 500),
+    Rule("seedcount>=1 && hopcount==0 && isnew", 46, 7, 9, 7, 500),
+    Rule("urlage>=1200", 44, 30, 9, 7, 500),
+    Rule("lastspidertime>=1600000000", 20, 30, 9, 7, 500),
+    Rule("default", 10, 60, 9, 7, 1000),
+)
+
+ROUNDS = 5
+CFG = CrawlConfig(rounds=ROUNDS, budget=60, round_ms=600_000,
+                  rules=KEYWORD_RULES, site_list=SITE_LIST)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("synthweb_kw"))
+    return synthweb.write_corpus(d, n_hosts=8, mean_pages=7, n_seeds=4)
+
+
+@pytest.fixture(scope="module")
+def oracle_state(corpus):
+    oc = OracleCrawler(pd.read_parquet(corpus["pages"]),
+                       pd.read_parquet(corpus["hostmeta"]),
+                       pd.read_parquet(corpus["seeds"]), CFG)
+    return oc.run(ROUNDS)
+
+
+@pytest.fixture(scope="module")
+def spark_driver(corpus, spark, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("crawlstate_kw"))
+    drv = CrawlDriver(spark, wd, corpus["pages"], corpus["hostmeta"], CFG)
+    drv.seed(corpus["seeds"])
+    drv.run(ROUNDS)
+    return drv
+
+
+def test_keyword_profile_schedule_parity(oracle_state, spark_driver):
+    got = [(r.round, r.seq, r.url, r.uh48, r.priority, r.fetch_time_ms)
+           for r in spark_driver.schedule_df()
+           .orderBy("round", "seq").collect()]
+    want = [(s["round"], s["seq"], s["url"], s["uh48"], s["priority"],
+             s["fetch_time_ms"]) for s in oracle_state.schedule]
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g == w, f"schedule mismatch: spark={g} oracle={w}"
+
+
+def test_keyword_profile_urlseen_parity(oracle_state, spark_driver):
+    got = {r.uh48 for r in spark_driver.url_seen_df().collect()}
+    assert got == set(oracle_state.url_seen)
+
+
+def test_many_rules_fired(oracle_state):
+    """The profile actually exercises the rule table: several distinct
+    priorities (= distinct rules) appear in the schedule."""
+    pris = {s["priority"] for s in oracle_state.schedule}
+    assert len(pris) >= 5, f"only rules with priorities {sorted(pris)} fired"
+
+
+def test_sitelist_enforced(oracle_state):
+    """Curated crawl: no scheduled url outside the site list unless it was
+    a manual add (seed)."""
+    from open_source_search_engine_spark.kernel import sitelist, urlnorm
+    sl = sitelist.parse(SITE_LIST)
+    for s in oracle_state.schedule:
+        url = s["url"]
+        host = urlnorm.get_host(url)
+        dom = urlnorm.get_domain(host)
+        ok = sitelist.matches(sl, url, host, dom)
+        if not ok:
+            # must be a manual add (seed root)
+            assert s["hop_count"] == 0, f"off-list url scheduled: {url}"
