@@ -340,6 +340,20 @@ def q_search_topk(spark, sf_dir):
             .select("doc_id", _r6(F.col("score")).alias("score"), "lang"))
 
 
+def q_search_proximity(spark, sf_dir):
+    """Positional term-pair proximity (intersectLists10_r positional half,
+    Posdb.cpp:5437+): min |pos_a - pos_b| per doc for a 2-term query over
+    full positional postings."""
+    from open_source_search_engine_spark.plans.search import (
+        build_postings_positional, proximity_pairs,
+    )
+    docs = _docs(spark, sf_dir)
+    pp = build_postings_positional(docs, split_pattern=" ")
+    return (proximity_pairs(pp, "data", "query")
+            .select("doc_id",
+                    F.col("min_gap").cast("long").alias("min_gap")))
+
+
 def q_search_gbops(spark, sf_dir):
     """gbmin:/gbmax:/gbsortbyint: numeric query operators
     (Query.cpp:2555-2613) through the full query-language parser."""
@@ -593,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": q_postings,
         "search_and": q_search_and,
         "search_topk": q_search_topk,
+        "search_proximity": q_search_proximity,
         "search_gbops": q_search_gbops,
         "search_facets": q_search_facets,
         "minhash_lsh": q_minhash_lsh,
@@ -841,6 +856,20 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY (w.tfidf + 1.0 / (1.0 + m.best_pos)) DESC,
                      m.doc_id ASC
             LIMIT 10
+        """,
+        "search_proximity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS term,
+                     generate_subscripts(string_split(lower(text), ' '), 1)
+                       AS pos
+              FROM documents),
+            a AS (SELECT doc_id, pos FROM toks WHERE term = 'data'),
+            b AS (SELECT doc_id, pos FROM toks WHERE term = 'query')
+            SELECT a.doc_id,
+                   CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS min_gap
+            FROM a JOIN b ON a.doc_id = b.doc_id
+            GROUP BY a.doc_id
         """,
         "search_gbops": """
             WITH p AS (

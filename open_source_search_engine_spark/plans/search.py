@@ -101,6 +101,62 @@ def score(matched: DataFrame, postings: DataFrame, terms: list[str],
                 F.col("tfidf") + 1.0 / (1.0 + F.col("best_pos"))))
 
 
+def build_postings_positional(docs: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              split_pattern: str = r"\s+") -> DataFrame:
+    """Full positional postings: (term, doc_id, tf, positions sorted
+    array<int>) — the complete posdb key space <termId><docId><pos>
+    (Posdb.h:1-50), needed for proximity scoring."""
+    toks = (docs
+            .select(id_col,
+                    F.posexplode(F.split(F.lower(F.col(text_col)),
+                                         split_pattern))
+                    .alias("pos", "term"))
+            .filter(F.length("term") > 0))
+    return (toks.groupBy("term", id_col)
+            .agg(F.count(F.lit(1)).alias("tf"),
+                 F.sort_array(F.collect_list("pos")).alias("positions")))
+
+
+def proximity_pairs(postings_pos: DataFrame, term_a: str, term_b: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Term-pair proximity per doc (the positional half of
+    PosdbTable::intersectLists10_r, Posdb.cpp:5437+): for docs containing
+    BOTH terms, min |pos_a - pos_b| over the two position lists via a
+    codegen nested array transform — O(tf_a * tf_b) per doc, all
+    JVM-side.  Returns (doc_id, min_gap)."""
+    a = (postings_pos.filter(F.col("term") == term_a)
+         .select(id_col, F.col("positions").alias("pa")))
+    b = (postings_pos.filter(F.col("term") == term_b)
+         .select(id_col, F.col("positions").alias("pb")))
+    return (a.join(b, id_col)
+            .withColumn(
+                "min_gap",
+                F.array_min(F.flatten(F.transform(
+                    "pa", lambda x: F.transform(
+                        "pb", lambda y: F.abs(x - y))))))
+            .select(id_col, "min_gap"))
+
+
+def proximity_score(postings_pos: DataFrame, terms: list[str],
+                    id_col: str = "doc_id") -> DataFrame:
+    """Pairwise proximity bonus summed over all query-term pairs:
+    sum over pairs of 1/(1+min_gap).  The reference maps pair distance
+    through a fixed score table (Posdb.cpp modifier arrays); we use the
+    same monotone inverse-distance shape.  Returns (doc_id, prox)."""
+    out = None
+    for i in range(len(terms)):
+        for j in range(i + 1, len(terms)):
+            pg = (proximity_pairs(postings_pos, terms[i], terms[j],
+                                  id_col)
+                  .withColumn("_p", 1.0 / (1.0 + F.col("min_gap")))
+                  .select(id_col, "_p"))
+            out = pg if out is None else out.unionByName(pg)
+    if out is None:
+        raise ValueError("proximity_score needs >= 2 terms")
+    return out.groupBy(id_col).agg(F.sum("_p").alias("prox"))
+
+
 def search(docs: DataFrame, postings: DataFrame, terms: list[str], k: int = 10,
            site_col: str | None = None, cluster_per_site: int = 2,
            dedup_content: bool = False,

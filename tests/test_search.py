@@ -91,3 +91,25 @@ def test_facets(corpus, postings):
     m = and_query(postings, ["data", "query"]).select("doc_id")
     out = {r.lang: r.n for r in facet_counts(m, corpus, "lang").collect()}
     assert out == {"en": 3, "de": 1}
+
+
+def test_proximity_pairs_and_score(spark):
+    """Positional proximity (Posdb.cpp:5437 positional half): min gap per
+    doc + pairwise inverse-distance score."""
+    from open_source_search_engine_spark.plans.search import (
+        build_postings_positional, proximity_pairs, proximity_score,
+    )
+    docs = spark.createDataFrame([
+        (0, "alpha beta gamma"),            # gap(alpha,gamma)=2
+        (1, "alpha x y z gamma alpha"),     # min gap = 1 (gamma,alpha@5)
+        (2, "alpha only here"),             # no gamma → excluded
+        (3, "gamma alpha"),                 # gap 1
+    ], ["doc_id", "text"])
+    pp = build_postings_positional(docs, split_pattern=" ")
+    gaps = {r.doc_id: r.min_gap for r in
+            proximity_pairs(pp, "alpha", "gamma").collect()}
+    assert gaps == {0: 2, 1: 1, 3: 1}
+    prox = {r.doc_id: r.prox for r in
+            proximity_score(pp, ["alpha", "gamma"]).collect()}
+    assert abs(prox[0] - 1.0 / 3) < 1e-9
+    assert abs(prox[1] - 0.5) < 1e-9
