@@ -71,6 +71,10 @@ class CrawlConfig:
     # in-flight slots (Spider.cpp:9254), batch-modeled as
     # max_spiders * ceil(round_ms/duration) schedulable per rule per round.
     fetch_duration_ms: int = 0
+    # hot-IP skew mitigation: >0 enables the exact two-phase salted
+    # winner top-K in the Spark scheduler (parity-neutral — the global
+    # per-IP top-K survives any salt split; the oracle is unaffected)
+    winner_salt_buckets: int = 0
 
 
 @dataclass

@@ -398,6 +398,23 @@ class CrawlDriver:
         w_ip = Window.partitionBy("first_ip").orderBy(
             F.desc(F.col("priority")), F.asc("hop_count"),
             F.asc("spider_time_ms"), F.asc("uh48"))
+        salt_buckets = getattr(cfg, "winner_salt_buckets", 0)
+        if salt_buckets > 0:
+            # hot-IP skew: a zipfian frontier puts 10%+ of all candidates
+            # on one IP, making the winner window a single straggler sort
+            # task.  Two-phase exact top-K: pre-rank inside (ip, salt)
+            # keeping winner_k (global winners survive any salt split),
+            # so no task sorts more than ~|hot ip|/buckets rows.  Salt =
+            # pmod(uh48) — deterministic across retries.
+            w_salt = Window.partitionBy("first_ip", "_salt").orderBy(
+                F.desc(F.col("priority")), F.asc("hop_count"),
+                F.asc("spider_time_ms"), F.asc("uh48"))
+            cand = (cand
+                    .withColumn("_salt", F.pmod(F.col("uh48"),
+                                                F.lit(salt_buckets)))
+                    .withColumn("_r1", F.row_number().over(w_salt))
+                    .filter(F.col("_r1") <= cfg.winner_k)
+                    .drop("_r1", "_salt"))
         cand = (cand.withColumn("_rank", F.row_number().over(w_ip))
                 .filter(F.col("_rank") <= cfg.winner_k))
         d = getattr(cfg, "fetch_duration_ms", 0)

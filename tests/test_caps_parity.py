@@ -82,3 +82,11 @@ def test_duration_zero_is_unchanged(corpus, spark, tmp_path_factory):
                       rules=IPCAP_RULES, fetch_duration_ms=0)
     got, want, _ = _run_both(corpus, spark, tmp_path_factory, cfg, "d0")
     assert got == want and len(got) > 0
+
+def test_salted_winner_topk_parity(corpus, spark, tmp_path_factory):
+    """winner_salt_buckets > 0 (hot-IP skew mitigation) is exact: the
+    two-phase salted top-K produces the identical schedule."""
+    cfg = CrawlConfig(rounds=2, budget=80, round_ms=600_000,
+                      winner_salt_buckets=8)
+    got, want, _ = _run_both(corpus, spark, tmp_path_factory, cfg, "salt")
+    assert got == want and len(got) > 0
