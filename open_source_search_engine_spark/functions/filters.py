@@ -18,7 +18,6 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..kernel import sitelist as sitelist_mod
 from ..kernel.spamwords import CONDITIONAL_NEEDLES, SPAM_NEEDLES
 from ..kernel.urlfilter import (
     MEDIA_EXT3, MEDIA_EXT4, TMP_ERRORS, Rule, parse_expression,
