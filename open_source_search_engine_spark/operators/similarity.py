@@ -153,21 +153,31 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  qid_col: str = "qid", n_planes: int = 8,
-                 dim: int | None = None, seed: int = 42) -> DataFrame:
+                 dim: int | None = None, seed: int = 42,
+                 n_tables: int = 1) -> DataFrame:
     """Approximate top-k: only same-LSH-bucket candidates are scored.
     At 100 TB the bucket join replaces the cross join — shuffle keyed on
-    the 2^n_planes bucket ids."""
+    the 2^n_planes bucket ids.
+
+    ``n_tables`` > 1 unions candidates from that many INDEPENDENT
+    hyperplane sets (standard multi-table LSH): recall grows
+    1-(1-p^planes)^tables while each table's join stays bucket-local.
+    Candidates are deduped per (query, id) before the exact re-rank."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    planes = random_hyperplanes(dim, n_planes, seed)
-    cb = corpus.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
-    qb = F.broadcast(
-        queries.select(qid_col, F.col(vec_col).alias("qvec"))
-        .withColumn("bucket", lsh_bucket_expr(F.col("qvec"), planes)))
-    scored = (cb.join(qb, "bucket")
-              .withColumn("cosine",
-                          F.round(cosine_expr(F.col(vec_col),
-                                              F.col("qvec")), 6)))
+    q = queries.select(qid_col, F.col(vec_col).alias("qvec"))
+    cand = None
+    for t in range(max(1, n_tables)):
+        planes = random_hyperplanes(dim, n_planes, seed + t * 1009)
+        cb = corpus.withColumn(
+            "bucket", lsh_bucket_expr(F.col(vec_col), planes))
+        qb = F.broadcast(q.withColumn(
+            "bucket", lsh_bucket_expr(F.col("qvec"), planes)))
+        hits = cb.join(qb, "bucket").drop("bucket")
+        cand = hits if cand is None else cand.unionByName(hits)
+    cand = cand.dropDuplicates([qid_col, id_col])
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 6))
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

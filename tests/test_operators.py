@@ -221,3 +221,45 @@ def test_ivf_ann(spark):
     a = sorted((r.qid, r.rank, r.vec_id) for r in rows)
     b = sorted((r.qid, r.rank, r.vec_id) for r in exact.collect())
     assert a == b
+
+
+def test_lsh_ann_multi_table_recall(spark):
+    """Multi-table LSH strictly improves recall vs one table and never
+    returns a worse neighbor set than its single-table subset."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.operators.similarity import (
+        cosine_expr, lsh_ann_topk,
+    )
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(100, 16)).astype(float)
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base)],
+        ["vec_id", "embedding"])
+    # queries = perturbed copies of corpus vectors (planted neighbors:
+    # random Gaussians have no near neighbors, which tests nothing)
+    qvecs = base[:5] + 0.05 * rng.normal(size=(5, 16))
+    queries = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(qvecs)],
+        ["qid", "embedding"])
+    # exact brute-force top-3 per query
+    a = queries.select("qid", F.col("embedding").alias("qvec"))
+    exact = (corpus.crossJoin(a)
+             .withColumn("cos", cosine_expr(F.col("embedding"),
+                                            F.col("qvec"))))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    truth = {(r.qid, r.vec_id) for r in
+             exact.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= 3).collect()}
+
+    def recall(n_tables):
+        got = {(r.qid, r.vec_id) for r in
+               lsh_ann_topk(corpus, queries, k=3, n_planes=6,
+                            dim=16, n_tables=n_tables).collect()}
+        return len(got & truth) / len(truth)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 >= 0.6  # 4 tables of 6 planes recover most true neighbors
