@@ -98,6 +98,14 @@ def frontier_sched_plan(spark, requests, replies, cfg=None):
 
     packed = (
         Fc.attach_url_predicates(requests)
+        # clamp the two counters to their 8-bit fields (mirrors the
+        # kernel's cap-20 inlink semantics) so overflow can't carry into
+        # the boolean flag bits or the min_by ordering key
+        .withColumn("hop_count",
+                    F.least(F.col("hop_count").cast("long"), F.lit(255)))
+        .withColumn("page_num_inlinks",
+                    F.least(F.col("page_num_inlinks").cast("long"),
+                            F.lit(255)))
         .select(
             "uh48", "first_ip", "added_time_ms",
             (F.col("hop_count").cast("long") +

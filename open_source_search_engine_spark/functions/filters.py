@@ -197,10 +197,18 @@ def _term_col(term) -> Column:
     elif kw == "ismanualadd":
         col = F.col("is_addurl") | F.col("is_injected")
     elif kw == "insitelist":
-        # attach_url_predicates supplies _p_insitelist (compiled site-list
-        # membership, or lit(True) when the site list is empty —
-        # Spider.cpp:12003-12009)
-        col = F.col("_p_insitelist")
+        # fast path (_term_col_fast) reads the attached _p_insitelist
+        # column before reaching here; standalone rule_condition/
+        # compile_rules have no site list to compile, so they use the
+        # empty-list semantics: every url matches (Spider.cpp:12003-12009)
+        col = F.lit(True)
+    elif kw == "isnewrequest":
+        # no reply yet, or the request was (re)added after the last reply
+        # (Spider.cpp:12484-12506: sreq->m_addedTime > srep->m_spideredTime)
+        # — second granularity on both sides (oracle build_context)
+        col = (~F.col("has_reply")) | \
+            (F.floor(F.col("added_time_ms") / 1000) >
+             F.col("last_spider_time"))
     elif kw == "ispermalink":
         col = is_permalink_col(F.col("url"))
     elif kw == "isrssext":
@@ -209,11 +217,16 @@ def _term_col(term) -> Column:
         col = is_ping_server_col(F.col("url"))
     elif kw == "hastmperror":
         col = F.col("has_reply") & F.col("err_code").isin(list(TMP_ERRORS))
-    elif kw in ("lang", "parentlang"):
-        field = "lang" if kw == "lang" else "parent_lang"
-        col = F.col(field).isin((term.value or "").split(","))
-    elif kw == "tld":
-        col = F.col("tld").isin((term.value or "").split(","))
+    elif kw in ("lang", "parentlang", "tld"):
+        # list-valued keywords honor the != op by flipping the membership
+        # result, exactly like the oracle (kernel/urlfilter.py evaluate_term
+        # flips for op == "!="); missing values compare as ""
+        field = {"lang": "lang", "parentlang": "parent_lang",
+                 "tld": "tld"}[kw]
+        col = F.coalesce(F.col(field), F.lit("")) \
+            .isin((term.value or "").split(","))
+        if term.op == "!=":
+            col = ~col
     elif kw in ("matchesucp", "matchesupr", "matchesucr"):
         # Spider.cpp:11687-11757 (ucp + the ucr/upr regex twins)
         col = F.col("url").rlike(term.value or "")

@@ -16,9 +16,10 @@ Predicates implemented (the web-profile set plus the common extras from
 Spider.cpp keyword scan): isreindex ismedia isaddurl isinjected ismanualadd
 isdocidbased isindexed isnew isnewoutlink isonsamedomain isonsamesubdomain
 isparentrss isparentsitemap ispingserver isrss isroot iswww insitelist
-hasreply hastmperror errorcount errorcode httpstatus hopcount sitenuminlinks
-numinlinks pagenuminlinks lang parentlang tld urlage age lastspidertime
-spiderwaited percentchangedperday default.
+isnewrequest hasreply hastmperror errorcount errorcode httpstatus hopcount
+sitenuminlinks numinlinks pagenuminlinks lang parentlang tld (lang/tld honor
+the != op) urlage age lastspidertime spiderwaited percentchangedperday
+default.
 """
 
 from __future__ import annotations
@@ -259,9 +260,14 @@ def build_context(request: dict, reply: dict | None, now: int,
         ctx["last_spider_time"] = reply.get("spidered_time", 0)
         ctx["spider_waited"] = max(0, now - ctx["last_spider_time"])
         ctx["lang"] = reply.get("lang", ctx.get("lang", ""))
+        # isnewrequest (Spider.cpp:12484-12506): request (re)added after
+        # the last reply was spidered
+        ctx["is_new_request"] = \
+            ctx.get("added_time", 0) > ctx["last_spider_time"]
     else:
         ctx.setdefault("err_count", 0)
         ctx["last_spider_time"] = 0
+        ctx["is_new_request"] = True
     ctx["url_age"] = max(
         0, now - (request.get("discovery_time") or
                   request.get("added_time") or now))

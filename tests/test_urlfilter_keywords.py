@@ -36,6 +36,11 @@ KEYWORD_RULES = (
     Rule("errorcount>=1", 3, 5, 1, 1, 1000, True, True),
     Rule("percentchangedperday>0.0001", 75, 1, 9, 7, 500),
     Rule("spiderwaited>=1200 && isindexed", 70, 1, 9, 7, 500),
+    # round-3 additions: list-valued ops (lang==/lang!=/tld!=) and
+    # isnewrequest (Spider.cpp:12484-12506) on BOTH sides
+    Rule("lang==de,fr && isindexed", 69, 1, 9, 7, 500),
+    Rule("lang!=en,de && isindexed && spiderwaited>=600", 67, 1, 9, 7, 500),
+    Rule("!isnewrequest && spiderwaited>=1800", 65, 1, 9, 7, 500),
     Rule("isrssext && isnew", 68, 7, 9, 7, 500),
     Rule("ispermalink && isnewoutlink", 66, 7, 9, 7, 500),
     Rule("hasauthorityinlink", 64, 7, 9, 7, 500),
@@ -46,6 +51,7 @@ KEYWORD_RULES = (
     Rule("sitepages>3", 50, 30, 9, 7, 500),
     Rule("domainpages>5", 48, 30, 9, 7, 500),
     Rule("seedcount>=1 && hopcount==0 && isnew", 46, 7, 9, 7, 500),
+    Rule("tld!=org && isnewrequest && hopcount>=3", 45, 30, 9, 7, 500),
     Rule("urlage>=1200", 44, 30, 9, 7, 500),
     Rule("lastspidertime>=1600000000", 20, 30, 9, 7, 500),
     Rule("default", 10, 60, 9, 7, 1000),
@@ -100,6 +106,50 @@ def test_many_rules_fired(oracle_state):
     priorities (= distinct rules) appear in the schedule."""
     pris = {s["priority"] for s in oracle_state.schedule}
     assert len(pris) >= 5, f"only rules with priorities {sorted(pris)} fired"
+
+
+_OP_CASES = [
+    # (lang, tld, has_reply, added_s, last_spider_s)
+    ("de", "com", True, 100, 200),
+    ("fr", "org", False, 100, 0),
+    ("en", "com", True, 300, 200),   # re-added after the last reply
+    ("", "net", True, 100, 200),
+    ("it", "com", True, 100, 100),
+    ("en", "com", False, 100, 0),
+]
+
+
+def test_listop_isnewrequest_unit_parity(spark):
+    """lang==/lang!=/tld!= honor the op and isnewrequest evaluates on BOTH
+    sides (VERDICT r2 items 2-3); insitelist standalone falls back to the
+    empty-list always-match instead of raising (ADVICE r2)."""
+    from open_source_search_engine_spark.functions.filters import (
+        compile_rules,
+    )
+    from open_source_search_engine_spark.kernel import urlfilter
+    rules = (
+        Rule("lang==de,fr", 90, 1, 9, 7, 500),
+        Rule("lang!=en,de", 80, 1, 9, 7, 500),
+        Rule("tld!=com", 70, 1, 9, 7, 500),
+        Rule("isnewrequest && hasreply", 60, 1, 9, 7, 500),
+        Rule("!isnewrequest", 50, 1, 9, 7, 500),
+        Rule("insitelist", 40, 1, 9, 7, 500),  # standalone ⇒ lit(True)
+        Rule("default", 10, 60, 9, 7, 1000),
+    )
+    rows = [(i, lang, tld, hr, a * 1000, ls)
+            for i, (lang, tld, hr, a, ls) in enumerate(_OP_CASES)]
+    df = spark.createDataFrame(
+        rows, "id int, lang string, tld string, has_reply boolean, "
+              "added_time_ms long, last_spider_time long")
+    out = df.withColumn("_o", compile_rules(rules)) \
+        .select("id", "_o.rule_idx")
+    got = {r.id: r.rule_idx for r in out.collect()}
+    for i, (lang, tld, hr, a, ls) in enumerate(_OP_CASES):
+        ctx = dict(lang=lang, tld=tld, has_reply=hr,
+                   is_new_request=(not hr) or a > ls,
+                   in_site_list=True)
+        want = urlfilter.evaluate(rules, ctx)
+        assert got[i] == want, f"case {i}: spark={got[i]} oracle={want}"
 
 
 def test_sitelist_enforced(oracle_state):
