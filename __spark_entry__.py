@@ -395,6 +395,10 @@ def q_simhash(spark, sf_dir):
 
 
 def q_lsh_ann(spark, sf_dir):
+    """Sign-LSH bucketed ANN (exact-bucket, one table).  The hyperplanes
+    are deterministic literals, so the WHOLE operator — bucket ids,
+    bucket join, cosine re-rank — is restated in the DuckDB oracle
+    (list_dot_product over the same plane literals)."""
     from open_source_search_engine_spark.operators.similarity import (
         lsh_ann_topk,
     )
@@ -402,7 +406,9 @@ def q_lsh_ann(spark, sf_dir):
     queries = (emb.filter(F.col("vec_id") < 3)
                .select(F.col("vec_id").alias("qid"), "embedding"))
     corpus = emb.filter(F.col("vec_id") >= 3)
-    return lsh_ann_topk(corpus, queries, k=5, n_planes=6, dim=64)
+    out = lsh_ann_topk(corpus, queries, k=5, n_planes=6, dim=64)
+    return out.select("qid", "vec_id",
+                      _r6(F.col("cosine")).alias("cosine"), "rank")
 
 
 # URL-kernel queries over a synthesized url column (deterministic function
@@ -556,6 +562,43 @@ def q_crawl_round_schedule(spark, sf_dir):
     drv.seed(paths["seeds"])
     drv.run(2)
     return drv.schedule_df().orderBy("round", "seq")
+
+
+def _lsh_ann_oracle_sql() -> str:
+    """DuckDB restatement of q_lsh_ann: identical deterministic
+    hyperplane literals → identical sign-bit buckets → bucket join →
+    cosine re-rank.  list_dot_product mirrors the Spark
+    aggregate(zip_with) dot product."""
+    from open_source_search_engine_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+    planes = random_hyperplanes(64, 6, 42)
+    terms = []
+    for b, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"{lit}) > 0 THEN {1 << b} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding, {bucket} AS bucket
+          FROM embeddings)
+        SELECT qid, vec_id, floor(cosine * 1e6) / 1e6 AS cosine, rank
+        FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+                 list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[]))
+                     AS cosine,
+                 row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(
+                         CAST(c.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])) DESC,
+                     c.vec_id ASC) AS rank
+          FROM b c JOIN b q ON c.bucket = q.bucket
+          WHERE q.vec_id < 3 AND c.vec_id >= 3)
+        WHERE rank <= 5
+    """
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -955,9 +998,9 @@ def oracle_sql() -> dict[str, str]:
                    ) AS in_list
             FROM u
         """,
-        # minhash_lsh / simhash / simhash_pairs / lsh_ann /
-        # crawl_round_schedule: intentionally omitted — xxhash64-based
-        # signatures and the full crawl DAG are not ANSI-SQL-expressible;
-        # driver records the rows-only check, and tests/ carry their
-        # correctness.
+        "lsh_ann": _lsh_ann_oracle_sql(),
+        # minhash_lsh / simhash / simhash_pairs / crawl_round_schedule:
+        # intentionally omitted — xxhash64-based signatures and the full
+        # crawl DAG are not ANSI-SQL-expressible; driver records the
+        # rows-only check, and tests/ carry their correctness.
     }

@@ -154,7 +154,7 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  qid_col: str = "qid", n_planes: int = 8,
                  dim: int | None = None, seed: int = 42,
-                 n_tables: int = 1) -> DataFrame:
+                 n_tables: int = 1, n_probes: int = 0) -> DataFrame:
     """Approximate top-k: only same-LSH-bucket candidates are scored.
     At 100 TB the bucket join replaces the cross join — shuffle keyed on
     the 2^n_planes bucket ids.
@@ -162,6 +162,14 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     ``n_tables`` > 1 unions candidates from that many INDEPENDENT
     hyperplane sets (standard multi-table LSH): recall grows
     1-(1-p^planes)^tables while each table's join stays bucket-local.
+
+    ``n_probes`` = 1 additionally probes every bucket at Hamming
+    distance 1 from the query's bucket (multi-probe LSH, Lv et al.
+    VLDB'07): the QUERY side fans out to 1+n_planes bucket keys — the
+    corpus stays single-bucket, so the join cost grows only with
+    |queries|, not |corpus|.  One flipped sign bit is exactly the
+    near-miss case that costs sign-LSH most of its recall.
+
     Candidates are deduped per (query, id) before the exact re-rank."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
@@ -171,13 +179,23 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         planes = random_hyperplanes(dim, n_planes, seed + t * 1009)
         cb = corpus.withColumn(
             "bucket", lsh_bucket_expr(F.col(vec_col), planes))
-        qb = F.broadcast(q.withColumn(
-            "bucket", lsh_bucket_expr(F.col("qvec"), planes)))
+        qb = q.withColumn("_b0", lsh_bucket_expr(F.col("qvec"), planes))
+        if n_probes >= 1:
+            probes = F.array(
+                F.col("_b0"),
+                *[F.col("_b0").bitwiseXOR(F.lit(1 << b).cast("long"))
+                  for b in range(n_planes)])
+            qb = qb.withColumn("bucket", F.explode(probes))
+        else:
+            qb = qb.withColumn("bucket", F.col("_b0"))
+        qb = F.broadcast(qb.drop("_b0"))
         hits = cb.join(qb, "bucket").drop("bucket")
         cand = hits if cand is None else cand.unionByName(hits)
     cand = cand.dropDuplicates([qid_col, id_col])
+    # rank on the RAW cosine (no rounding) so the ordering is identical
+    # to an independent SQL restatement; callers stabilize for display
     scored = cand.withColumn(
-        "cosine", F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 6))
+        "cosine", cosine_expr(F.col(vec_col), F.col("qvec")))
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
