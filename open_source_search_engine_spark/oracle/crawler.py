@@ -75,6 +75,13 @@ class CrawlConfig:
     # winner top-K in the Spark scheduler (parity-neutral — the global
     # per-IP top-K survives any salt split; the oracle is unaffected)
     winner_salt_buckets: int = 0
+    # Spark-only, parity-neutral: host-keyed tables (hostmeta, parsed
+    # robots rules) are broadcast ONLY while |hosts| is at or below this;
+    # above it they go through ordinary shuffle joins (at the 10^10-URL
+    # design point hostmeta is 10^7-10^9 hosts — a forced broadcast
+    # would be a multi-GB driver OOM).  AQE may still pick a broadcast
+    # by measured size on the shuffle path.
+    broadcast_host_threshold: int = 10_000_000
 
 
 @dataclass

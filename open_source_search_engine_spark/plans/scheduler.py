@@ -20,8 +20,11 @@ Scale design (10^10-URL frontier, 1000 executors):
   then re-shuffled once on first_ip for the politeness/winner stage — the
   same two partitionings the reference bakes into spiderdb's key layout
   (<firstIp><uh48>, Spider.h:370).
-- hostmeta is a broadcast join (≤ tens of millions of hosts → still fine to
-  hash-join; Spark picks by size).
+- hostmeta / parsed-robots joins broadcast only while |hosts| ≤
+  cfg.broadcast_host_threshold (counted once at init); beyond that they
+  are ordinary host-keyed shuffle joins (AQE may still choose a
+  broadcast by measured size).  At 10^7-10^9 hosts a forced broadcast
+  is a driver OOM, so the hint is size-gated, never unconditional.
 - the hot-IP skew the reference suffers (one host per IP, Spider.cpp:6171)
   is bounded here: the per-IP window ranks at most the requests of one IP
   partition, and AQE skew-split handles oversized partitions for the scan/
@@ -114,6 +117,8 @@ class CrawlDriver:
         self.t_metrics = SnapshotTable(os.path.join(workdir, "metrics"))
         self.pages = spark.read.parquet(pages_path)
         self.hostmeta = spark.read.parquet(hostmeta_path)
+        # size-gate for host-keyed broadcast joins (see module docstring)
+        self._n_hosts = self.hostmeta.count()
         self.site_list = sitelist_mod.parse(
             getattr(self.cfg, "site_list", ""))
         self._rule_kws = Fc.used_keywords(self.cfg.rules)
@@ -139,6 +144,12 @@ class CrawlDriver:
             self.t_robots.overwrite(host_rules, {"source": "robots_parse"})
         self.host_rules = self.t_robots.read(spark)
 
+    def _bcast_hosts(self, df: DataFrame) -> DataFrame:
+        """Broadcast a host-keyed dimension only while it is small enough
+        to live on the driver; otherwise leave it to a shuffle join."""
+        thr = getattr(self.cfg, "broadcast_host_threshold", 10_000_000)
+        return F.broadcast(df) if self._n_hosts <= thr else df
+
     # ------------------------------------------------------------------
     def seed(self, seeds_path: str) -> int:
         """Inject seeds (A1: SpiderRequest::setFromAddUrl analog)."""
@@ -151,7 +162,8 @@ class CrawlDriver:
             .filter(F.length("url") > 0)
             .withColumn("uh48", udfs.uh48_udf(F.col("url")))
             .withColumn("host", udfs.host_udf(F.col("url")))
-            .join(F.broadcast(self.hostmeta.select("host", "first_ip")),
+            .join(self._bcast_hosts(
+                      self.hostmeta.select("host", "first_ip")),
                   "host", "inner")  # unknown host = DNS failure → dropped
             .select(
                 "url", "uh48",
@@ -245,7 +257,7 @@ class CrawlDriver:
             if "site_num_inlinks" in self.hostmeta.columns:
                 sni = self.hostmeta.select(
                     "host", F.col("site_num_inlinks").alias("_sni"))
-                cand = (cand.join(F.broadcast(sni), "host", "left")
+                cand = (cand.join(self._bcast_hosts(sni), "host", "left")
                         .withColumn("site_num_inlinks",
                                     F.coalesce("_sni", F.lit(0)))
                         .drop("_sni"))
@@ -350,12 +362,13 @@ class CrawlDriver:
         cand = cand.filter(~F.col("force_delete") &
                            (F.col("max_spiders") > 0))
 
-        # ---- 4. robots + crawl delay (broadcast PRE-PARSED rules) -----
-        # host_rules holds effective Disallow prefixes parsed once per
-        # host at init; the per-url check is an Arrow-batched prefix
-        # match — no robots parsing in the per-candidate path.
+        # ---- 4. robots + crawl delay (PRE-PARSED rules, size-gated
+        # broadcast) ----- host_rules holds effective Disallow prefixes
+        # parsed once per host at init; the per-url check is an
+        # Arrow-batched prefix match — no robots parsing in the
+        # per-candidate path.
         cand = (
-            cand.join(F.broadcast(self.host_rules), "host", "left")
+            cand.join(self._bcast_hosts(self.host_rules), "host", "left")
             .withColumn("_allowed", udfs.robots_match_udf(
                 F.col("robots_disallow"), path_cgi_col(F.col("url"))))
             .filter(F.col("_allowed"))
@@ -587,7 +600,7 @@ class CrawlDriver:
         # one SpiderRequest per parent; we accumulate the count table)
         new_inlinks = (
             exploded
-            .join(F.broadcast(self.hostmeta.select("host")), "host",
+            .join(self._bcast_hosts(self.hostmeta.select("host")), "host",
                   "inner")
             .select("uh48",
                     F.shiftright(F.col("parent_ip"), 8)
@@ -619,7 +632,8 @@ class CrawlDriver:
             deduped = deduped.join(seen, "uh48", "left_anti")
         new_requests = (
             deduped
-            .join(F.broadcast(self.hostmeta.select("host", "first_ip")),
+            .join(self._bcast_hosts(
+                      self.hostmeta.select("host", "first_ip")),
                   "host", "inner")  # unknown host = DNS failure
             .withColumn("parent_domain", udfs.domain_udf(
                 F.col("parent_host")))
