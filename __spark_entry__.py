@@ -354,6 +354,22 @@ def q_search_proximity(spark, sf_dir):
                     F.col("min_gap").cast("long").alias("min_gap")))
 
 
+def q_search_phrase(spark, sf_dir):
+    """Exact-phrase match verified with POSITION ARITHMETIC over the
+    positional postings (Posdb.cpp:5437+ pair semantics), not substring:
+    term i must appear at start+i.  Oracle restates the same adjacency
+    join on (doc_id, pos)."""
+    from open_source_search_engine_spark.plans.search import (
+        build_postings_positional, phrase_match_positional,
+    )
+    docs = _docs(spark, sf_dir)
+    pp = build_postings_positional(docs, split_pattern=" ")
+    out = phrase_match_positional(pp, ["table", "hash"])
+    return out.select("doc_id",
+                      F.col("n_occurrences").cast("long")
+                      .alias("n_occurrences"))
+
+
 def q_search_gbops(spark, sf_dir):
     """gbmin:/gbmax:/gbsortbyint: numeric query operators
     (Query.cpp:2555-2613) through the full query-language parser."""
@@ -651,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_and": q_search_and,
         "search_topk": q_search_topk,
         "search_proximity": q_search_proximity,
+        "search_phrase": q_search_phrase,
         "search_gbops": q_search_gbops,
         "search_facets": q_search_facets,
         "minhash_lsh": q_minhash_lsh,
@@ -912,6 +929,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id,
                    CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS min_gap
             FROM a JOIN b ON a.doc_id = b.doc_id
+            GROUP BY a.doc_id
+        """,
+        "search_phrase": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS term,
+                     generate_subscripts(string_split(lower(text), ' '), 1)
+                       AS pos
+              FROM documents),
+            a AS (SELECT doc_id, pos FROM toks WHERE term = 'table'),
+            b AS (SELECT doc_id, pos FROM toks WHERE term = 'hash')
+            SELECT a.doc_id, count(*) AS n_occurrences
+            FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             GROUP BY a.doc_id
         """,
         "search_gbops": """

@@ -128,18 +128,17 @@ def parse(q: str, synonyms: dict[str, list[str]] | None = None
 
 
 def _phrase_match(postings: DataFrame, docs: DataFrame,
-                  phrase: list[str], text_col: str = "text") -> DataFrame:
-    """Docs containing the exact phrase: cheap candidate check via AND on
-    the terms, then a substring verify on the text (the reference verifies
-    phrases with positional pairs; substring over the normalized text is
-    the batch equivalent)."""
+                  phrase: list[str],
+                  split_pattern: str = " ") -> DataFrame:
+    """Docs containing the exact phrase: cheap candidate prune via AND on
+    the terms, then POSITIONAL verification — consecutive positions from
+    the positional postings (the reference verifies phrases with
+    position pairs, Posdb.cpp:5437+; round 2 used a substring check)."""
     cand = S.and_query(postings, phrase).select("doc_id")
-    needle = " " + " ".join(phrase) + " "
-    return (cand.join(docs, "doc_id")
-            .filter(F.concat(F.lit(" "),
-                             F.lower(F.col(text_col)),
-                             F.lit(" ")).contains(needle))
-            .select("doc_id"))
+    cand_docs = docs.join(cand, "doc_id", "left_semi")
+    pp = S.build_postings_positional(cand_docs,
+                                     split_pattern=split_pattern)
+    return S.phrase_match_positional(pp, phrase).select("doc_id")
 
 
 def run_query(q: str, docs: DataFrame, postings: DataFrame, k: int = 10,

@@ -118,24 +118,78 @@ def build_postings_positional(docs: DataFrame, id_col: str = "doc_id",
                  F.sort_array(F.collect_list("pos")).alias("positions")))
 
 
+def _min_cross_gap(pa: Column, pb: Column) -> Column:
+    """min |x - y| over two SORTED int arrays as a single linear scan:
+    tag-merge the arrays, then one F.aggregate pass tracking the last
+    position seen from each side — the gap to the most recent
+    opposite-tag element in sorted order IS the minimum (the r2 plan
+    materialized the full tf_a x tf_b cross product per doc; this is
+    O((tf_a+tf_b) log) for the merge-sort + O(tf_a+tf_b) for the scan,
+    and survives a hot term pair with tf~10^3 each)."""
+    big = 1 << 30
+    merged = F.array_sort(F.concat(
+        F.transform(pa, lambda x: F.struct(x.alias("p"),
+                                           F.lit(0).alias("t"))),
+        F.transform(pb, lambda y: F.struct(y.alias("p"),
+                                           F.lit(1).alias("t")))))
+    acc0 = F.struct(F.lit(-1).alias("la"), F.lit(-1).alias("lb"),
+                    F.lit(big).alias("best"))
+
+    def step(acc, e):
+        is_a = e["t"] == 0
+        gap = F.when(is_a & (acc["lb"] >= 0), e["p"] - acc["lb"]) \
+            .when(~is_a & (acc["la"] >= 0), e["p"] - acc["la"]) \
+            .otherwise(F.lit(big))
+        return F.struct(
+            F.when(is_a, e["p"]).otherwise(acc["la"]).alias("la"),
+            F.when(is_a, acc["lb"]).otherwise(e["p"]).alias("lb"),
+            F.least(acc["best"], gap).alias("best"))
+
+    return F.aggregate(merged, acc0, step, lambda acc: acc["best"])
+
+
 def proximity_pairs(postings_pos: DataFrame, term_a: str, term_b: str,
                     id_col: str = "doc_id") -> DataFrame:
     """Term-pair proximity per doc (the positional half of
     PosdbTable::intersectLists10_r, Posdb.cpp:5437+): for docs containing
-    BOTH terms, min |pos_a - pos_b| over the two position lists via a
-    codegen nested array transform — O(tf_a * tf_b) per doc, all
-    JVM-side.  Returns (doc_id, min_gap)."""
+    BOTH terms, min |pos_a - pos_b| via a linear sorted-merge scan over
+    the two (already sorted) position lists — all JVM-side codegen.
+    Returns (doc_id, min_gap)."""
     a = (postings_pos.filter(F.col("term") == term_a)
          .select(id_col, F.col("positions").alias("pa")))
     b = (postings_pos.filter(F.col("term") == term_b)
          .select(id_col, F.col("positions").alias("pb")))
     return (a.join(b, id_col)
-            .withColumn(
-                "min_gap",
-                F.array_min(F.flatten(F.transform(
-                    "pa", lambda x: F.transform(
-                        "pb", lambda y: F.abs(x - y))))))
+            .withColumn("min_gap", _min_cross_gap(F.col("pa"),
+                                                  F.col("pb")))
             .select(id_col, "min_gap"))
+
+
+def phrase_match_positional(postings_pos: DataFrame, phrase: list[str],
+                            id_col: str = "doc_id") -> DataFrame:
+    """Docs containing the EXACT phrase, verified with position
+    arithmetic like the reference's positional pair scoring
+    (Posdb.cpp:5437+), not substring search: term i of the phrase must
+    appear at (start + i) — intersect each term's position list shifted
+    by -i; survivors with a non-empty intersection contain the phrase.
+    One narrow join per phrase term, each pruned to that term's postings.
+    Returns (doc_id, n_occurrences)."""
+    out = None
+    for i, term in enumerate(phrase):
+        t = (postings_pos.filter(F.col("term") == term)
+             .select(id_col,
+                     F.transform("positions",
+                                 lambda p: p - F.lit(i)).alias("_s")))
+        if out is None:
+            out = t.withColumnRenamed("_s", "_starts")
+        else:
+            out = (out.join(t, id_col)
+                   .withColumn("_starts",
+                               F.array_intersect("_starts", "_s"))
+                   .drop("_s")
+                   .filter(F.size("_starts") > 0))
+    return (out.filter(F.size("_starts") > 0)
+            .select(id_col, F.size("_starts").alias("n_occurrences")))
 
 
 def proximity_score(postings_pos: DataFrame, terms: list[str],
@@ -160,12 +214,31 @@ def proximity_score(postings_pos: DataFrame, terms: list[str],
 def search(docs: DataFrame, postings: DataFrame, terms: list[str], k: int = 10,
            site_col: str | None = None, cluster_per_site: int = 2,
            dedup_content: bool = False,
-           lang: str | None = None) -> DataFrame:
-    """Full pipeline: AND match → score → (lang: filter) → site clustering
-    → top-k → titlerec join (docid→doc broadcast lookup)."""
+           lang: str | None = None,
+           proximity_weight: float = 0.0,
+           postings_pos: DataFrame | None = None,
+           split_pattern: str = " ") -> DataFrame:
+    """Full pipeline: AND match → score (+ optional positional proximity
+    bonus, the Posdb.cpp:5437+ pair scoring) → (lang: filter) → site
+    clustering → top-k → titlerec join (docid→doc broadcast lookup).
+
+    ``proximity_weight`` > 0 adds proximity_weight * sum over term pairs
+    of 1/(1+min_gap) to the score, computed with the linear sorted-merge
+    scan; pass ``postings_pos`` to reuse a prebuilt positional table."""
     n_docs = docs.count()
     matched = and_query(postings, terms)
     scored = score(matched, postings, terms, n_docs)
+    if proximity_weight > 0 and len(terms) >= 2:
+        if postings_pos is None:
+            postings_pos = build_postings_positional(
+                docs, split_pattern=split_pattern)
+        prox = proximity_score(postings_pos, terms)
+        scored = (scored.join(prox, "doc_id", "left")
+                  .withColumn(
+                      "score",
+                      F.col("score") + F.lit(proximity_weight) *
+                      F.coalesce(F.col("prox"), F.lit(0.0)))
+                  .drop("prox"))
     enriched = scored.join(docs, "doc_id")
     if lang is not None:
         enriched = enriched.filter(F.col("lang") == lang)

@@ -113,3 +113,52 @@ def test_proximity_pairs_and_score(spark):
             proximity_score(pp, ["alpha", "gamma"]).collect()}
     assert abs(prox[0] - 1.0 / 3) < 1e-9
     assert abs(prox[1] - 0.5) < 1e-9
+
+
+def test_phrase_match_positional(spark):
+    """Phrase verify via consecutive positions, not substring: 'beta
+    gamma' must NOT match a doc with beta..x..gamma, and repeated
+    occurrences are counted."""
+    from open_source_search_engine_spark.plans.search import (
+        build_postings_positional, phrase_match_positional,
+    )
+    docs = spark.createDataFrame([
+        (0, "alpha beta gamma delta"),       # 1 occurrence
+        (1, "beta x gamma"),                 # terms present, not adjacent
+        (2, "beta gamma beta gamma"),        # 2 occurrences
+        (3, "gamma beta"),                   # wrong order
+        (4, "beta gamma"),                   # 1 occurrence
+    ], ["doc_id", "text"])
+    pp = build_postings_positional(docs, split_pattern=" ")
+    got = {r.doc_id: r.n_occurrences for r in
+           phrase_match_positional(pp, ["beta", "gamma"]).collect()}
+    assert got == {0: 1, 2: 2, 4: 1}
+    # 3-term phrase
+    got3 = {r.doc_id: r.n_occurrences for r in
+            phrase_match_positional(
+                pp, ["alpha", "beta", "gamma"]).collect()}
+    assert got3 == {0: 1}
+
+
+def test_search_proximity_fold(spark):
+    """proximity_weight folds the positional pair bonus into search()
+    scoring: the doc with adjacent query terms outranks the doc where
+    they are far apart (equal tf-idf otherwise)."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from open_source_search_engine_spark.plans.search import (
+        build_postings, search,
+    )
+    docs = spark.createDataFrame([
+        (0, "alpha gamma pad1 pad2 pad3 pad4", "en"),
+        (1, "alpha pad1 pad2 pad3 pad4 gamma", "en"),
+    ], ["doc_id", "text", "lang"])
+    p = build_postings(docs, split_pattern=" ")
+    base = search(docs, p, ["alpha", "gamma"], k=2)
+    s0 = {r.doc_id: r.score for r in base.collect()}
+    # same tf/positions-agnostic score without proximity... best_pos
+    # differs only via the 1/(1+best_pos) bonus, equal here (both pos 0)
+    assert abs(s0[0] - s0[1]) < 1e-9
+    prox = search(docs, p, ["alpha", "gamma"], k=2, proximity_weight=1.0)
+    rows = sorted(prox.collect(), key=lambda r: -r.score)
+    assert rows[0].doc_id == 0  # adjacent pair wins
+    assert rows[0].score > rows[1].score
