@@ -61,10 +61,29 @@ def compact_requests(spark: SparkSession, table: SnapshotTable) -> int:
     return n
 
 
+def compact_inlinks(spark: SparkSession, table: SnapshotTable) -> int:
+    """F3 inlink log → distinct (uh48, parent_cblock) pairs
+    (Spider.cpp:4290-4332: the count is distinct C-blocks, capped at 20
+    at eval time, so the distinct-pair rewrite is lossless).  Without
+    this the append log grows one row per surviving link occurrence per
+    round and the per-round countDistinct re-aggregates all history —
+    O(total links ever); after compaction storage and scan cost are
+    bounded by the number of distinct (url, C-block) edges."""
+    df = table.read(spark)
+    if df is None:
+        return 0
+    merged = df.dropDuplicates(["uh48", "parent_cblock"])
+    n = merged.count()
+    table.overwrite(merged, {"compaction": True, "rows": n})
+    return n
+
+
 def compact_frontier(spark: SparkSession, workdir: str) -> dict:
     import os
     n_req = compact_requests(
         spark, SnapshotTable(os.path.join(workdir, "requests")))
     n_rep = compact_replies(
         spark, SnapshotTable(os.path.join(workdir, "replies")))
-    return {"requests": n_req, "replies": n_rep}
+    n_inl = compact_inlinks(
+        spark, SnapshotTable(os.path.join(workdir, "inlinks")))
+    return {"requests": n_req, "replies": n_rep, "inlinks": n_inl}

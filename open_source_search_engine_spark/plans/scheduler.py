@@ -605,6 +605,11 @@ class CrawlDriver:
             .select("uh48",
                     F.shiftright(F.col("parent_ip"), 8)
                     .alias("parent_cblock"))
+            # within-round distinct: only NEW (uh48, C-block) edges are
+            # worth appending — the consumer is countDistinct, so this
+            # is lossless and bounds per-round growth (cross-round dups
+            # are collapsed by compaction.compact_inlinks)
+            .dropDuplicates(["uh48", "parent_cblock"])
         )
 
         # dedup within batch: first discovery in (parent seq, link order)

@@ -156,6 +156,20 @@ def test_compaction_preserves_schedule(spark, tmp_path):
          drv_b.schedule_df().orderBy("round", "seq").collect()]
     assert a == b
 
+    # F3 inlink-log boundedness (VERDICT r2 item 6): after compaction the
+    # inlinks table holds exactly the distinct (uh48, parent_cblock)
+    # edges — storage no longer grows with crawl history — and
+    # page_num_inlinks-driven scheduling stayed identical (asserted by
+    # the schedule equality above, since drv_b compacted mid-crawl)
+    inl = drv_b.t_inlinks.read(spark)
+    assert inl is not None
+    n_rows = inl.count()
+    n_distinct = inl.dropDuplicates(["uh48", "parent_cblock"]).count()
+    stats2 = compact_frontier(spark, wd_b)
+    inl2 = drv_b.t_inlinks.read(spark)
+    assert stats2["inlinks"] == n_distinct
+    assert inl2.count() == n_distinct <= n_rows
+
 
 def test_streaming_seed_ingest(spark, tmp_path):
     import json
