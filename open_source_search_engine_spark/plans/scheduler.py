@@ -117,18 +117,35 @@ class CrawlDriver:
         self.t_metrics = SnapshotTable(os.path.join(workdir, "metrics"))
         self.pages = spark.read.parquet(pages_path)
         self.hostmeta = spark.read.parquet(hostmeta_path)
-        # size-gate for host-keyed broadcast joins (see module docstring)
-        self._n_hosts = self.hostmeta.count()
+        # ONE init job: host count (broadcast size gate) + a robots
+        # content fingerprint (cache-invalidation key, below)
+        row = self.hostmeta.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(
+                "host", F.coalesce(F.col("robots_txt"), F.lit("")),
+                F.coalesce(F.col("robots_status").cast("int"),
+                           F.lit(404)))).alias("fp")).collect()[0]
+        self._n_hosts = row.n
         self.site_list = sitelist_mod.parse(
             getattr(self.cfg, "site_list", ""))
         self._rule_kws = Fc.used_keywords(self.cfg.rules)
         # robots cache: parse robots.txt ONCE per host into an effective
         # Disallow-prefix table (the reference's 24h per-host robots cache,
-        # Msg13.cpp:590).  Per-round, candidates broadcast-join this table
-        # and run prefix matching only — the parse UDF executes over
-        # |hosts| rows at init, never over |candidates| per round.
+        # Msg13.cpp:590).  Per-round, candidates join this table and run
+        # prefix matching only — the parse UDF executes over |hosts| rows
+        # at init, never over |candidates| per round.  The snapshot is
+        # keyed by a (user_agent, hostmeta robots content) fingerprint in
+        # its manifest: a changed robots_txt / robots_status / user agent
+        # rebuilds the cache on the next driver init instead of silently
+        # serving stale Disallow rules (the cache-expiry analog of
+        # Msg13.cpp:590-591).
         self.t_robots = SnapshotTable(os.path.join(workdir, "robots_rules"))
-        if not self.t_robots.exists():
+        fingerprint = f"{self.cfg.user_agent}:{row.fp}"
+        cur_lineage = (self.t_robots.manifest()["snapshots"]
+                       .get(str(self.t_robots.current_snapshot()), {})
+                       .get("lineage", {}))
+        if not self.t_robots.exists() or \
+                cur_lineage.get("fingerprint") != fingerprint:
             rules_udf = udfs.make_robots_rules_udf(self.cfg.user_agent)
             host_rules = (
                 self.hostmeta
@@ -141,7 +158,9 @@ class CrawlDriver:
                         F.col("_rr.disallow").alias("robots_disallow"),
                         F.col("_rr.crawl_delay_ms").alias("crawl_delay_ms"))
             )
-            self.t_robots.overwrite(host_rules, {"source": "robots_parse"})
+            self.t_robots.overwrite(host_rules,
+                                    {"source": "robots_parse",
+                                     "fingerprint": fingerprint})
         self.host_rules = self.t_robots.read(spark)
 
     def _bcast_hosts(self, df: DataFrame) -> DataFrame:
@@ -196,8 +215,30 @@ class CrawlDriver:
         return n
 
     # ------------------------------------------------------------------
+    def _migrate_requests(self, df: DataFrame) -> DataFrame:
+        """Read-side schema evolution: request snapshots written by an
+        older driver version may lack later REQUEST_SCHEMA columns (the
+        round-2 flag bits, domain).  Fill them with their semantic
+        defaults instead of feeding nulls into boolean rule predicates
+        or the domainpages quota key."""
+        for f in REQUEST_SCHEMA.fields:
+            if f.name in df.columns:
+                continue
+            if f.name == "domain":
+                df = df.withColumn("domain",
+                                   udfs.domain_udf(F.col("host")))
+            elif f.name == "discovery_time_ms":
+                df = df.withColumn(f.name, F.col("added_time_ms"))
+            elif isinstance(f.dataType, T.BooleanType):
+                df = df.withColumn(f.name, F.lit(False))
+            else:
+                df = df.withColumn(f.name, F.lit(0).cast(f.dataType))
+        return df
+
     def _read_state(self):
         requests = self.t_requests.read(self.spark)
+        if requests is not None:
+            requests = self._migrate_requests(requests)
         replies = self.t_replies.read(self.spark)
         ip_state = self.t_ip_state.read(self.spark)
         if replies is None:
@@ -212,7 +253,8 @@ class CrawlDriver:
         if m is None:
             return 0
         row = m.agg(F.max("round").alias("r")).collect()[0]
-        return (row.r or -1) + 1
+        # row.r == 0 is a valid max round — `or` would misread it as None
+        return (row.r if row.r is not None else -1) + 1
 
     # ------------------------------------------------------------------
     def _attach_quota_columns(self, cand: DataFrame, req: DataFrame,

@@ -1,0 +1,86 @@
+"""State-evolution gates (ADVICE r2): the per-host robots cache must be
+invalidated when the hostmeta robots content or the user agent changes
+(the cache-expiry analog of the reference's 24h per-host robots cache,
+Msg13.cpp:590-591), and request snapshots written by an older driver
+version (missing later REQUEST_SCHEMA columns) must resume cleanly with
+semantic defaults instead of feeding nulls into rule predicates."""
+
+import pandas as pd
+
+from open_source_search_engine_spark.oracle.crawler import CrawlConfig
+from open_source_search_engine_spark.plans.scheduler import CrawlDriver
+from open_source_search_engine_spark.sources import synthweb
+
+
+def test_robots_cache_refresh(spark, tmp_path):
+    """Mutating a host's robots.txt in hostmeta and re-initializing the
+    driver on the same workdir rebuilds the parsed-rules cache: the host
+    stops being scheduled from the next round on."""
+    d = str(tmp_path / "corpus")
+    paths = synthweb.write_corpus(d, n_hosts=6, mean_pages=4, n_seeds=4)
+    cfg = CrawlConfig(rounds=4, budget=40)
+    wd = str(tmp_path / "state")
+    drv = CrawlDriver(spark, wd, paths["pages"], paths["hostmeta"], cfg)
+    drv.seed(paths["seeds"])
+    drv.run(2)
+
+    target = "host001.com"  # robots template 1 (empty -> fully allowed)
+    hm = pd.read_parquet(paths["hostmeta"])
+    hm.loc[hm.host == target, "robots_txt"] = \
+        "User-agent: *\nDisallow: /\n"
+    hm.loc[hm.host == target, "robots_status"] = 200
+    hm2 = str(tmp_path / "hostmeta2.parquet")
+    hm.to_parquet(hm2, index=False)
+
+    drv2 = CrawlDriver(spark, wd, paths["pages"], hm2, cfg)
+    drv2.run(2)
+    sched = drv2.schedule_df()
+    earlier = [r.url for r in sched.filter("round < 2").collect()]
+    later = [r.url for r in sched.filter("round >= 2").collect()]
+    assert any(target in u for u in earlier), \
+        "precondition: target host was being crawled before the change"
+    assert later
+    assert not any(target in u for u in later), \
+        "stale robots rules survived the hostmeta change"
+
+
+def test_user_agent_change_rebuilds_cache(spark, tmp_path):
+    """A different cfg.user_agent re-parses robots (per-agent sections
+    differ) — asserted via the cache fingerprint, not a full crawl."""
+    d = str(tmp_path / "corpus")
+    paths = synthweb.write_corpus(d, n_hosts=5, mean_pages=3, n_seeds=2)
+    wd = str(tmp_path / "state")
+    drv = CrawlDriver(spark, wd, paths["pages"], paths["hostmeta"],
+                      CrawlConfig())
+    snap1 = drv.t_robots.current_snapshot()
+    # same config -> no rebuild
+    drv_same = CrawlDriver(spark, wd, paths["pages"], paths["hostmeta"],
+                           CrawlConfig())
+    assert drv_same.t_robots.current_snapshot() == snap1
+    drv_ua = CrawlDriver(spark, wd, paths["pages"], paths["hostmeta"],
+                         CrawlConfig(user_agent="other-bot"))
+    assert drv_ua.t_robots.current_snapshot() == snap1 + 1
+
+
+def test_legacy_request_snapshot_resume(spark, tmp_path):
+    """Requests written without the round-2 columns (domain + flag bits)
+    resume with defaults — no nulls, no AnalysisException."""
+    d = str(tmp_path / "corpus")
+    paths = synthweb.write_corpus(d, n_hosts=6, mean_pages=4, n_seeds=3)
+    cfg = CrawlConfig(rounds=2, budget=40)
+    wd = str(tmp_path / "state")
+    drv = CrawlDriver(spark, wd, paths["pages"], paths["hostmeta"], cfg)
+    drv.seed(paths["seeds"])
+    drv.run(1)
+
+    legacy = drv.t_requests.read(spark).drop(
+        "domain", "is_rss", "is_new_outlink", "was_parent_indexed",
+        "is_docid_based", "has_authority_inlink")
+    drv.t_requests.overwrite(legacy, {"legacy_schema": True})
+
+    drv2 = CrawlDriver(spark, wd, paths["pages"], paths["hostmeta"], cfg)
+    m = drv2.run_round(drv2.current_round())
+    assert m["scheduled"] > 0
+    req = drv2._read_state()[0]
+    assert "domain" in req.columns
+    assert req.filter("domain is null or is_rss is null").count() == 0
