@@ -410,6 +410,28 @@ def q_simhash(spark, sf_dir):
     return simhash64(_docs(spark, sf_dir))
 
 
+def q_minhash_lsh_md5(spark, sf_dir):
+    """MinHash-LSH with the md5-derived 60-bit hash (VERDICT r2 item 8):
+    same shingle → signature → band-bucket → pair pipeline as
+    minhash_lsh, but every hash is restatable in DuckDB, so the ENTIRE
+    near-dup candidate generation is value-checked by the oracle (the
+    xxhash64 production entry stays rows-only).  Uncapped buckets: the
+    cap+star fallback is covered by tests/test_dedup_scale.py."""
+    from open_source_search_engine_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    return minhash_lsh_candidates(
+        _docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3,
+        bucket_cap=1 << 30, hasher="md5")
+
+
+def q_simhash_md5(spark, sf_dir):
+    """32-bit SimHash with the md5-derived token hash — value-checked by
+    a DuckDB restatement of the per-bit +1/-1 vote."""
+    from open_source_search_engine_spark.operators.dedup import simhash64
+    return simhash64(_docs(spark, sf_dir), hasher="md5", bits=32)
+
+
 def q_lsh_ann(spark, sf_dir):
     """Sign-LSH bucketed ANN (exact-bucket, one table).  The hyperplanes
     are deterministic literals, so the WHOLE operator — bucket ids,
@@ -580,6 +602,71 @@ def q_crawl_round_schedule(spark, sf_dir):
     return drv.schedule_df().orderBy("round", "seq")
 
 
+_MH = "('0x' || substr(md5(shingle || '#{s}'), 1, 15))::BIGINT"
+
+
+def _minhash_md5_oracle_sql() -> str:
+    """DuckDB restatement of q_minhash_lsh_md5: identical normalization,
+    word-3-gram shingles, 8 md5-derived min-hashes, 4 bands of 2, md5
+    band buckets, distinct same-bucket pairs."""
+    mins = ",\n                ".join(
+        f"min({_MH.format(s=s)}) AS mh{s}" for s in range(8))
+    bands = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(mh{2 * b}::VARCHAR || ':' || mh{2 * b + 1}::VARCHAR) "
+        f"AS bucket FROM sig" for b in range(4))
+    return f"""
+        WITH norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+          FROM documents),
+        words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(w[CAST(i AS INT):CAST(i + 2 AS INT)],
+                                 ' ') AS shingle
+          FROM words, UNNEST(range(1, greatest(len(w) - 2, 0) + 1))
+               AS r(i)),
+        sig AS (
+          SELECT doc_id, {mins}
+          FROM sh GROUP BY doc_id),
+        banded AS (
+            {bands})
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l
+        JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+                      AND l.doc_id < r.doc_id
+    """
+
+
+def _simhash_md5_oracle_sql() -> str:
+    """DuckDB restatement of q_simhash_md5: md5-derived token hash, 32
+    per-bit +1/-1 votes, sign → bit."""
+    votes = ",\n              ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(32))
+    recon = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(32))
+    return f"""
+        WITH norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+          FROM documents),
+        toks AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(tok || '#0'), 1, 15))::BIGINT AS h
+          FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+                FROM norm)),
+        bits AS (
+          SELECT doc_id,
+              {votes}
+          FROM toks GROUP BY doc_id)
+        SELECT doc_id, CAST({recon} AS BIGINT) AS simhash
+        FROM bits
+    """
+
+
 def _lsh_ann_oracle_sql() -> str:
     """DuckDB restatement of q_lsh_ann: identical deterministic
     hyperplane literals → identical sign-bit buckets → bucket join →
@@ -671,7 +758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_gbops": q_search_gbops,
         "search_facets": q_search_facets,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_lsh_md5": q_minhash_lsh_md5,
         "simhash": q_simhash,
+        "simhash_md5": q_simhash_md5,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,
         "spam_hosts": q_spam_hosts,
@@ -1029,6 +1118,8 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "lsh_ann": _lsh_ann_oracle_sql(),
+        "minhash_lsh_md5": _minhash_md5_oracle_sql(),
+        "simhash_md5": _simhash_md5_oracle_sql(),
         # minhash_lsh / simhash / simhash_pairs / crawl_round_schedule:
         # intentionally omitted — xxhash64-based signatures and the full
         # crawl DAG are not ANSI-SQL-expressible; driver records the

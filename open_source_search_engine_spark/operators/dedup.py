@@ -57,14 +57,28 @@ def shingles(col, n: int = 5):
     )
 
 
+def _mh_hash(col, seed: int, hasher: str):
+    """Per-seed shingle hash.  ``xxhash64`` is the fast production path;
+    ``md5`` derives a 60-bit integer from the first 15 hex digits of
+    md5(shingle + '#seed') — bit-identical to the DuckDB restatement
+    ``('0x' || substr(md5(..), 1, 15))::BIGINT``, which makes the whole
+    MinHash/SimHash math SQL-oracle-checkable."""
+    if hasher == "md5":
+        return F.conv(F.substring(
+            F.md5(F.concat(col, F.lit(f"#{seed}"))), 1, 15), 16, 10) \
+            .cast("long")
+    return F.xxhash64(col, F.lit(seed))
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
-                      shingle_n: int = 5) -> DataFrame:
-    """MinHash signature: min over shingles of xxhash64(shingle, seed) for
+                      shingle_n: int = 5,
+                      hasher: str = "xxhash64") -> DataFrame:
+    """MinHash signature: min over shingles of hash(shingle, seed) for
     each of ``num_hashes`` seeds. Pure built-ins (explode + groupBy min)."""
     sh = (df.select(id_col, F.explode(
         F.array_distinct(shingles(text_col, shingle_n))).alias("shingle")))
-    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(seed)))
+    aggs = [F.min(_mh_hash(F.col("shingle"), seed, hasher))
             .alias(f"mh{seed}") for seed in range(num_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -104,18 +118,25 @@ def bucket_pairs(banded: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
                            bands: int = 4, shingle_n: int = 5,
-                           bucket_cap: int = 64) -> DataFrame:
+                           bucket_cap: int = 64,
+                           hasher: str = "xxhash64") -> DataFrame:
     """Band the signature, bucket-join: docs sharing any band bucket are
     near-dup candidates. Returns (id_a, id_b) with id_a < id_b.  Bucket
     self-join is bounded by ``bucket_cap`` (see bucket_pairs)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n,
+                            hasher)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}")
                 for r in range(rows_per_band)]
+        if hasher == "md5":
+            bucket = F.md5(F.concat_ws(
+                ":", *[c.cast("string") for c in cols]))
+        else:
+            bucket = F.xxhash64(*cols)
         band_cols.append(F.struct(F.lit(b).alias("band"),
-                                  F.xxhash64(*cols).alias("bucket")))
+                                  bucket.alias("bucket")))
     banded = (sig.select(id_col, F.explode(F.array(*band_cols))
                          .alias("bb"))
               .select(id_col, "bb.band", "bb.bucket"))
@@ -123,13 +144,17 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 
 
 def simhash64(df: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over word tokens: per bit, sign of sum over tokens of
+              id_col: str = "doc_id", hasher: str = "xxhash64",
+              bits: int = 64) -> DataFrame:
+    """SimHash over word tokens: per bit, sign of sum over tokens of
     (bit set ? +1 : -1). Implemented with explode + groupBy over bit
-    positions — built-ins only."""
+    positions — built-ins only.  ``hasher='md5'`` + ``bits<=60`` makes
+    the signature SQL-oracle-checkable (see _mh_hash)."""
+    h = (_mh_hash(F.col("tok"), 0, "md5") if hasher == "md5"
+         else F.xxhash64("tok"))  # unchanged production signature
     toks = (df.select(id_col, F.explode(F.split(
         normalize_text_col(F.col(text_col)), " ")).alias("tok"))
-        .withColumn("h", F.xxhash64("tok")))
+        .withColumn("h", h))
     def bit(b):
         # shiftleft avoids the 1<<63 long-literal overflow
         return F.shiftleft(F.lit(1).cast("long"), b)
@@ -137,11 +162,11 @@ def simhash64(df: DataFrame, text_col: str = "text",
     bit_sums = [
         F.sum(F.when(F.col("h").bitwiseAND(bit(b)) != 0, 1)
               .otherwise(-1)).alias(f"b{b}")
-        for b in range(64)
+        for b in range(bits)
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums)
     sim = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(bits):
         sim = sim + F.when(F.col(f"b{b}") > 0, bit(b)).otherwise(F.lit(0))
     return agg.select(id_col, sim.alias("simhash"))
 
