@@ -383,6 +383,34 @@ def q_search_gbops(spark, sf_dir):
     return out.select("doc_id", "n_chars")
 
 
+def q_search_fields(spark, sf_dir):
+    """Query-field tail (Query.h:69-110): ext: (url extension), suburl:
+    (url component), title: (title word) restrictions through the full
+    query-language parser, over a synthesized url/title."""
+    from open_source_search_engine_spark.plans.querylang import run_query
+    from open_source_search_engine_spark.plans.search import build_postings
+    docs = (_docs(spark, sf_dir)
+            .withColumn("url", _synth_url(F.col("doc_id"),
+                                          F.col("source")))
+            .withColumn("title", F.concat_ws(
+                " ", F.slice(F.split(F.col("text"), " "), 1, 3))))
+    p = build_postings(docs, split_pattern=" ")
+    out = run_query("data ext:html suburl:story title:data", docs, p,
+                    k=100000)
+    return out.select("doc_id", "url")
+
+
+def q_search_facet_int(spark, sf_dir):
+    """gbfacetint: integer facet counts over the matched set
+    (FIELD_GBFACETINT twin of gbfacetstr, Query.cpp:2555-2613)."""
+    from open_source_search_engine_spark.plans.querylang import run_query
+    from open_source_search_engine_spark.plans.search import build_postings
+    docs = _docs(spark, sf_dir)
+    p = build_postings(docs, split_pattern=" ")
+    out = run_query("data gbfacetint:n_chars", docs, p)
+    return out.select(F.col("n_chars").cast("long").alias("n_chars"), "n")
+
+
 def q_search_facets(spark, sf_dir):
     """gbfacetstr: facet counts over the AND-matched result set."""
     from open_source_search_engine_spark.plans.search import (
@@ -757,6 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase": q_search_phrase,
         "search_gbops": q_search_gbops,
         "search_facets": q_search_facets,
+        "search_fields": q_search_fields,
+        "search_facet_int": q_search_facet_int,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_md5": q_minhash_lsh_md5,
         "simhash": q_simhash,
@@ -1045,6 +1075,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.n_chars >= 180 AND d.n_chars <= 260
             ORDER BY d.n_chars ASC, d.doc_id ASC
             LIMIT 25
+        """,
+        "search_fields": f"""
+            WITH u AS (
+              SELECT doc_id, {_SYNTH_URL_SQL} AS url, text
+              FROM documents),
+            matched AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS term
+                    FROM documents)
+              WHERE term = 'data')
+            SELECT u.doc_id, u.url
+            FROM u JOIN matched m ON u.doc_id = m.doc_id
+            WHERE lower(regexp_extract(
+                    (string_split(string_split(url, '?')[1], '/'))[-1],
+                    '\\.([A-Za-z0-9]+)$', 1)) = 'html'
+              AND list_contains(
+                    regexp_split_to_array(lower(url), '[:/?.=&_-]+'),
+                    'story')
+              AND list_contains(
+                    list_transform((string_split(text, ' '))[1:3],
+                                   x -> lower(x)), 'data')
+        """,
+        "search_facet_int": """
+            WITH matched AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS term
+                    FROM documents)
+              WHERE term = 'data')
+            SELECT CAST(d.n_chars AS BIGINT) AS n_chars, count(*) AS n
+            FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+            GROUP BY 1
         """,
         "search_facets": """
             WITH p AS (

@@ -10,7 +10,11 @@ Grammar (subset matching the reference's default behaviour):
 - ``"quoted phrase"``  → consecutive-position phrase match
 - ``-term``            → NOT
 - ``term1 OR term2``   → union groups
-- ``lang:xx``          → document-field restriction (also site:, url:)
+- ``lang:xx``          → document-field restriction (also site: ip:
+  country: type: and any doc column; url: substring; ext: url extension;
+  suburl: url component; title: title word; urlhash: uh48 equality —
+  Query.h:69-110 field table)
+- ``gbfacetint:/gbfacetfloat:`` → numeric facet counts (gbfacetstr twins)
 - ``gbsortby:field``   → sort override
 - ``gbfacetstr:field`` → return facet counts instead of results
 - ``~term``            → synonym expansion via a broadcast dictionary (G6)
@@ -50,6 +54,9 @@ class ParsedQuery:
     sort_asc: bool = True      # gbsortby sorts low→high (Query.cpp:2556);
     # gbrevsortby[int] flips it
     facet_by: str | None = None
+    facet_cast: str | None = None  # gbfacetint → long, gbfacetfloat →
+    # double (FIELD_GBFACETINT/FLOAT twins of gbfacetstr,
+    # Query.cpp:2555-2613)
     # gbmin:/gbmax:/gbequal: numeric range constraints on the sort field
     # termlist (FIELD_GBNUMBERMIN/MAX/EQUALFLOAT + INT twins,
     # Query.cpp:2557-2573): list of (field, op, value)
@@ -92,8 +99,11 @@ def parse(q: str, synonyms: dict[str, list[str]] | None = None
                     op = {"gbmin": ">=", "gbmax": "<=",
                           "gbequal": "=="}[key.replace("int", "")]
                     pq.num_filters.append((fld, op, float(num)))
-            elif key == "gbfacetstr":
+            elif key in ("gbfacetstr", "gbfacetint", "gbfacetfloat"):
                 pq.facet_by = val
+                pq.facet_cast = {"gbfacetstr": None,
+                                 "gbfacetint": "long",
+                                 "gbfacetfloat": "double"}[key]
             else:
                 pq.fields[key] = val
             i += 1
@@ -158,13 +168,39 @@ def run_query(q: str, docs: DataFrame, postings: DataFrame, k: int = 10,
         matched = docs.select("doc_id")
     if pq.not_terms:
         matched = S.not_filter(matched, postings, pq.not_terms)
-    # field restrictions on the doc table
+    # field restrictions on the doc table (Query.h:69-110 field table:
+    # site/ip/lang/country/type resolve to plain column equality when the
+    # doc table carries the column; ext/suburl/title/urlhash derive from
+    # the url/title columns)
     enriched = matched.join(docs, "doc_id")
     for key, val in pq.fields.items():
-        if key in docs.columns:
-            enriched = enriched.filter(F.lower(F.col(key)) == val)
-        elif key == "url" and "url" in docs.columns:
+        if key == "url" and "url" in docs.columns:
             enriched = enriched.filter(F.col("url").contains(val))
+        elif key == "ext" and "url" in docs.columns:
+            # FIELD_EXT: url filename extension equality
+            fname = F.element_at(
+                F.split(F.substring_index(F.col("url"), "?", 1), "/"), -1)
+            ext = F.lower(F.regexp_extract(fname,
+                                           r"\.([A-Za-z0-9]+)$", 1))
+            enriched = enriched.filter(ext == val)
+        elif key == "suburl" and "url" in docs.columns:
+            # FIELD_SUBURL: any url component (split on punctuation)
+            # equals the value — the indexed-url-word analog
+            comps = F.split(F.lower(F.col("url")), r"[:/?.=&_\-]+")
+            enriched = enriched.filter(F.array_contains(comps, val))
+        elif key == "title" and "title" in docs.columns:
+            # FIELD_TITLE: word match within the title
+            enriched = enriched.filter(F.array_contains(
+                F.split(F.lower(F.col("title")), r"\s+"), val))
+        elif key == "urlhash" and "url" in docs.columns:
+            # FIELD_URLHASH: canonical 48-bit url hash equality
+            from ..functions import udfs
+            enriched = enriched.filter(
+                udfs.uh48_udf(F.col("url")) == int(val))
+        elif key in docs.columns:
+            # site:/ip:/lang:/country:/type:/any generic column
+            enriched = enriched.filter(
+                F.lower(F.col(key).cast("string")) == val)
     # gbmin:/gbmax:/gbequal: numeric constraints (Query.cpp:2557-2573)
     for fld, op, num in pq.num_filters:
         if fld not in docs.columns:
@@ -174,7 +210,10 @@ def run_query(q: str, docs: DataFrame, postings: DataFrame, k: int = 10,
             c >= num if op == ">=" else (c <= num if op == "<="
                                          else c == num))
     if pq.facet_by:
-        return (enriched.groupBy(pq.facet_by)
+        fc = F.col(pq.facet_by)
+        if pq.facet_cast:
+            fc = fc.cast(pq.facet_cast)
+        return (enriched.groupBy(fc.alias(pq.facet_by))
                 .agg(F.count(F.lit(1)).alias("n"))
                 .orderBy(F.desc("n"), F.asc(pq.facet_by)))
     # scoring

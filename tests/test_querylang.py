@@ -105,3 +105,58 @@ def test_gbfacetstr(corpus, postings):
            run_query("engine gbfacetstr:lang", corpus,
                      postings).collect()}
     assert out == {"en": 2, "de": 1}
+
+
+@pytest.fixture(scope="module")
+def url_corpus(spark):
+    rows = [
+        (0, "fast data engine", "en", 16,
+         "http://www.a.com/posts/story-1.html", "Fast Data"),
+        (1, "data engine slow", "en", 16,
+         "http://www.a.com/feed1.xml", "Slow Feed"),
+        (2, "data engine quick", "de", 17,
+         "http://b.com/story/page.html", "Quick Data"),
+        (3, "unrelated text here", "en", 19,
+         "http://b.com/x.html", "Other Title"),
+    ]
+    return spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "n_chars", "url", "title"])
+
+
+@pytest.fixture(scope="module")
+def url_postings(url_corpus):
+    from open_source_search_engine_spark.plans.search import build_postings
+    return build_postings(url_corpus, split_pattern=" ").cache()
+
+
+def test_field_ext(url_corpus, url_postings):
+    out = run_query("data ext:xml", url_corpus, url_postings)
+    assert {r.doc_id for r in out.collect()} == {1}
+    out2 = run_query("data ext:html", url_corpus, url_postings)
+    assert {r.doc_id for r in out2.collect()} == {0, 2}
+
+
+def test_field_suburl(url_corpus, url_postings):
+    out = run_query("data suburl:story", url_corpus, url_postings)
+    assert {r.doc_id for r in out.collect()} == {0, 2}
+    # component match, not substring: 'stor' matches nothing
+    out2 = run_query("data suburl:stor", url_corpus, url_postings)
+    assert out2.count() == 0
+
+
+def test_field_title(url_corpus, url_postings):
+    out = run_query("data title:quick", url_corpus, url_postings)
+    assert {r.doc_id for r in out.collect()} == {2}
+
+
+def test_field_urlhash(url_corpus, url_postings):
+    from open_source_search_engine_spark.kernel import gbhash
+    h = gbhash.uh48("http://www.a.com/feed1.xml")
+    out = run_query(f"data urlhash:{h}", url_corpus, url_postings)
+    assert {r.doc_id for r in out.collect()} == {1}
+
+
+def test_gbfacetint(url_corpus, url_postings):
+    out = run_query("data gbfacetint:n_chars", url_corpus, url_postings)
+    got = {r.n_chars: r.n for r in out.collect()}
+    assert got == {16: 2, 17: 1}
