@@ -113,34 +113,62 @@ def in_site_list_col(sl, url: Column, host: Column,
     for sub in sl.pos_substrings:
         pos = pos | F.contains(url, F.lit(sub))
     dom_c = F.when(domain == "", host).otherwise(domain)
-    hit = F.lit(False)
-    if sl.patterns:
-        by_dom: dict[str, list] = {}
-        for pd in sl.patterns:
-            by_dom.setdefault(pd.line_domain, []).append(pd)
-        entries = []
-        for dom, pds in by_dom.items():
-            arr = F.array(*[
-                F.struct(F.lit(pd.thing_host).alias("thing_host"),
-                         F.lit(pd.path).alias("path"),
-                         F.lit(pd.url_prefix).alias("url_prefix"))
-                for pd in pds])
-            entries.extend([F.lit(dom), arr])
-        pat_map = F.create_map(*entries)
-        pats = pat_map[dom_c]
-        path_c = F.regexp_extract(
-            url, r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1)
-
-        def one(p):
-            path_ok = (p["path"] == "") | path_c.startswith(p["path"])
-            url_pat = F.when(p["url_prefix"] != "",
-                             url.startswith(p["url_prefix"])) \
-                .otherwise((p["thing_host"] == dom_c) |
-                           (p["thing_host"] == host))
-            return path_ok & url_pat
-
-        hit = pats.isNotNull() & F.exists(pats, one)
+    hit = _patterns_hit_col(sl.patterns, url, host, dom_c)
     return ~neg & (hit | pos)
+
+
+def _patterns_hit_col(patterns, url: Column, host: Column,
+                      dom_c: Column) -> Column:
+    """Shared pattern-table membership: constant map literal domain →
+    array<pattern struct> + F.exists (see in_site_list_col)."""
+    if not patterns:
+        return F.lit(False)
+    by_dom: dict[str, list] = {}
+    for pd in patterns:
+        by_dom.setdefault(pd.line_domain, []).append(pd)
+    entries = []
+    for dom, pds in by_dom.items():
+        arr = F.array(*[
+            F.struct(F.lit(pd.thing_host).alias("thing_host"),
+                     F.lit(pd.path).alias("path"),
+                     F.lit(pd.url_prefix).alias("url_prefix"))
+            for pd in pds])
+        entries.extend([F.lit(dom), arr])
+    pat_map = F.create_map(*entries)
+    pats = pat_map[dom_c]
+    path_c = F.regexp_extract(
+        url, r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1)
+
+    def one(p):
+        path_ok = (p["path"] == "") | path_c.startswith(p["path"])
+        url_pat = F.when(p["url_prefix"] != "",
+                         url.startswith(p["url_prefix"])) \
+            .otherwise((p["thing_host"] == dom_c) |
+                       (p["thing_host"] == host))
+        return path_ok & url_pat
+
+    return pats.isNotNull() & F.exists(pats, one)
+
+
+def tag_matches_col(sl, tag: str, url: Column, host: Column,
+                    domain: Column) -> Column:
+    """Rule-level ``tag:xyz`` (Spider.cpp:12563-12590) as a Column: true
+    iff a matching site-list line carries the tag.  Twin of
+    kernel.sitelist.matches_tag; empty list ⇒ no row ⇒ False."""
+    if sl.empty:
+        return F.lit(False)
+    neg = F.lit(False)
+    for sub in sl.neg_substrings:
+        neg = neg | F.contains(url, F.lit(sub))
+    dom_c = F.when(domain == "", host).otherwise(domain)
+    hit = _patterns_hit_col(
+        tuple(pd for pd in sl.patterns if pd.tag == tag),
+        url, host, dom_c)
+    sub_hit = F.lit(False)
+    for sub, t in sl.tagged_substrings:
+        if t == tag:
+            sub_hit = sub_hit | F.contains(url, F.lit(sub))
+    return ~neg & (hit | sub_hit)
 
 
 _NUM_COLS = {
@@ -176,6 +204,10 @@ _BOOL_COLS = {
     "isparentindexed": "was_parent_indexed",
     "hasauthorityinlink": "has_authority_inlink",
     "isrss": "is_rss",
+    # m_inGoogle flag bit (Spider.cpp:12182-12205); no in-crawl source
+    # sets it in this rebuild, so it is False unless an ingest supplies
+    # the column — the valid-bit skip is modeled as always-valid
+    "ingoogle": "in_google",
 }
 
 
@@ -230,6 +262,23 @@ def _term_col(term) -> Column:
     elif kw in ("matchesucp", "matchesupr", "matchesucr"):
         # Spider.cpp:11687-11757 (ucp + the ucr/upr regex twins)
         col = F.col("url").rlike(term.value or "")
+    elif kw == "tag":
+        # tag:xyz (Spider.cpp:12563-12590): attach_url_predicates
+        # compiles each referenced tag to a _p_tag_<name> column via
+        # tag_matches_col; standalone compile without the attach step
+        # fails loudly at analysis (no site list to look in)
+        col = F.col(f"_p_tag_{term.value}")
+    elif kw == "newinlinks":
+        # newinlinks (Spider.cpp:13339-13368): # of new SpiderRequests
+        # the LATEST reply's fetch added; requires a reply
+        lhs = F.coalesce(F.col("new_requests"), F.lit(0))
+        rhs = F.lit(float(term.value))
+        op = term.op or "=="
+        cmp = {
+            "==": lhs == rhs, "!=": lhs != rhs, ">=": lhs >= rhs,
+            "<=": lhs <= rhs, ">": lhs > rhs, "<": lhs < rhs,
+        }[op]
+        col = F.col("has_reply") & cmp
     elif kw in _BOOL_COLS:
         col = F.col(_BOOL_COLS[kw]).cast("boolean")
         col = F.coalesce(col, F.lit(False))
@@ -406,6 +455,20 @@ def attach_url_predicates(df, rules: tuple[Rule, ...] | None = None,
             site_list, F.col("url"), F.col("host"), dom))
     else:
         out = out.withColumn("_p_insitelist", F.lit(True))
+    if rules is not None:
+        tag_vals = {t.value for r in rules
+                    for t in parse_expression(r.expression)
+                    if t.keyword == "tag" and t.value}
+        for tv in sorted(tag_vals):
+            if site_list is None or site_list.empty:
+                out = out.withColumn(f"_p_tag_{tv}", F.lit(False))
+            else:
+                dom = (F.col("domain") if "domain" in df.columns
+                       else F.lit(""))
+                out = out.withColumn(
+                    f"_p_tag_{tv}",
+                    tag_matches_col(site_list, tv, F.col("url"),
+                                    F.col("host"), dom))
     if "ispermalink" in kws:
         out = out.withColumn("_p_permalink",
                              is_permalink_col(F.col("url")))
@@ -433,9 +496,9 @@ def attach_reply_predicates(df):
 def finish_rule_outputs(df, rules: tuple[Rule, ...]):
     """rule_idx when-chain over the _p_* columns + array-literal outputs.
     Requires attach_url_predicates + attach_reply_predicates upstream."""
-    out = (df
-           .withColumn("rule_idx", rule_idx_expr(rules))
-           .drop(*_SHARED_PRED_COLS.values())
+    out = df.withColumn("rule_idx", rule_idx_expr(rules))
+    out = (out
+           .drop(*[c for c in out.columns if c.startswith("_p_")])
            .withColumn("_ro", F.element_at(rule_outputs_array(rules),
                                            F.col("rule_idx") + 1)))
     for f in _OUTPUT_FIELDS:

@@ -45,6 +45,8 @@ class UrlPattern:
     thing_host: str       # full host of the line's url (m_thingHash32)
     path: str             # "" = no path restriction
     url_prefix: str       # non-"" for scheme'd lines: whole-url prefix
+    tag: str = ""         # tag:xyz prefix on the line (rule `tag:` lookup,
+    # Spider.cpp:12563-12590 → getMatchingUrlPattern with a tag arg)
 
 
 @dataclass(frozen=True)
@@ -53,22 +55,28 @@ class SiteList:
     pos_substrings: tuple[str, ...]
     patterns: tuple[UrlPattern, ...]
     empty: bool
+    # contains: lines that carried a tag:xyz prefix, as (substr, tag)
+    tagged_substrings: tuple[tuple[str, str], ...] = ()
 
 
 def parse(text: str | None) -> SiteList:
     neg: list[str] = []
     pos: list[str] = []
     pats: list[UrlPattern] = []
+    tagged_subs: list[tuple[str, str]] = []
     empty = True
     for raw in (text or "").split("\n"):
         s = raw.strip()
         if not s or s.startswith("#"):
             continue
+        tag = ""
         if s.startswith("tag:"):
-            # skip the tag:xyz token (membership ignores tags)
+            # tag:xyz <pattern> — the tag names the line for rule-level
+            # `tag:xyz` lookups; membership semantics are unchanged
             parts = s.split(None, 1)
             if len(parts) < 2:
                 continue
+            tag = parts[0][4:]
             s = parts[1].strip()
         is_neg = False
         if s.startswith("-"):
@@ -84,6 +92,8 @@ def parse(text: str | None) -> SiteList:
                 continue
             empty = False
             (neg if is_neg else pos).append(sub)
+            if tag and not is_neg:
+                tagged_subs.append((sub, tag))
             continue
         if not s:
             continue
@@ -100,8 +110,9 @@ def parse(text: str | None) -> SiteList:
             path = ""
         pats.append(UrlPattern(
             line_domain=dom, thing_host=host, path=path,
-            url_prefix=s if has_scheme else ""))
-    return SiteList(tuple(neg), tuple(pos), tuple(pats), empty)
+            url_prefix=s if has_scheme else "", tag=tag))
+    return SiteList(tuple(neg), tuple(pos), tuple(pats), empty,
+                    tuple(tagged_subs))
 
 
 def matches(sl: SiteList, url: str, host: str, domain: str) -> bool:
@@ -126,5 +137,42 @@ def matches(sl: SiteList, url: str, host: str, domain: str) -> bool:
             return True
     for sub in sl.pos_substrings:
         if sub in url:
+            return True
+    return False
+
+
+def all_tags(sl: SiteList) -> frozenset[str]:
+    """Every tag named by a tag:xyz line."""
+    return frozenset(
+        [pd.tag for pd in sl.patterns if pd.tag] +
+        [t for _, t in sl.tagged_substrings])
+
+
+def matches_tag(sl: SiteList, url: str, host: str, domain: str,
+                tag: str) -> bool:
+    """Rule-level ``tag:xyz`` lookup (Spider.cpp:12563-12590): true iff a
+    matching site-list line carries the tag.  Empty list ⇒ no row ⇒
+    False (the reference sets row=NULL when the site list is empty).
+    The negative-substring veto applies, as in getMatchingUrlPattern."""
+    if sl.empty:
+        return False
+    for sub in sl.neg_substrings:
+        if sub in url:
+            return False
+    path = urlnorm.get_path_cgi(url)
+    dom = domain or host
+    for pd in sl.patterns:
+        if pd.tag != tag or pd.line_domain != dom:
+            continue
+        if pd.path and not path.startswith(pd.path):
+            continue
+        if pd.url_prefix:
+            if url.startswith(pd.url_prefix):
+                return True
+            continue
+        if pd.thing_host == dom or pd.thing_host == host:
+            return True
+    for sub, t in sl.tagged_substrings:
+        if t == tag and sub in url:
             return True
     return False

@@ -109,6 +109,10 @@ def parse_expression(expr: str) -> list[Term]:
         if not m:
             raise ValueError(f"unparseable url-filter term: {part!r}")
         neg, kw, op, val = m.groups()
+        if kw == "tag" and val and val.startswith(":"):
+            # tag:name — the colon is part of the keyword syntax
+            # (Spider.cpp:12563 matches "tag:" then the name)
+            val = val[1:]
         terms.append(Term(bool(neg), kw, op, val))
     return terms
 
@@ -167,6 +171,7 @@ _BOOL_KEYS = {
     "ispingserver": "is_ping_server",
     "insitelist": "in_site_list",
     "hasauthorityinlink": "has_authority_inlink",
+    "ingoogle": "in_google",  # Spider.cpp:12182-12205 (always-valid model)
 }
 
 
@@ -192,6 +197,20 @@ def evaluate_term(term: Term, ctx: dict) -> bool:
     elif kw == "tld":
         vals = set((term.value or "").split(","))
         result = ctx.get("tld", "") in vals
+    elif kw == "tag":
+        # tag:xyz (Spider.cpp:12563-12590): the url's matching site-list
+        # line carries the tag; build_context precomputes the tag set
+        result = (term.value or "") in ctx.get("site_list_tags", ())
+    elif kw == "newinlinks":
+        # # of new SpiderRequests the latest reply's fetch added
+        # (Spider.cpp:13339-13368, srep->m_newRequests); needs a reply
+        lhs = ctx.get("new_requests", 0) or 0
+        rhs = float(term.value)  # type: ignore[arg-type]
+        op = term.op or "=="
+        result = bool(ctx.get("has_reply")) and {
+            "==": lhs == rhs, "!=": lhs != rhs, ">=": lhs >= rhs,
+            "<=": lhs <= rhs, ">": lhs > rhs, "<": lhs < rhs,
+        }[op]
     elif kw in ("matchesucp", "matchesupr", "matchesucr"):
         # per-collection URL regex rows: ucr/upr are the compiled-regex
         # twins of the ucp/upp pattern lists (Spider.cpp:11687-11757,
@@ -250,6 +269,11 @@ def build_context(request: dict, reply: dict | None, now: int,
     else:
         ctx["in_site_list"] = _sitelist.matches(
             site_list, url, host, ctx.get("domain", ""))
+    if site_list is not None and not site_list.empty:
+        ctx["site_list_tags"] = frozenset(
+            t for t in _sitelist.all_tags(site_list)
+            if _sitelist.matches_tag(site_list, url, host,
+                                     ctx.get("domain", ""), t))
     if reply is not None:
         ctx["err_code"] = reply.get("err_code", 0)
         ctx["err_count"] = reply.get("err_count", 0)
@@ -260,6 +284,7 @@ def build_context(request: dict, reply: dict | None, now: int,
         ctx["last_spider_time"] = reply.get("spidered_time", 0)
         ctx["spider_waited"] = max(0, now - ctx["last_spider_time"])
         ctx["lang"] = reply.get("lang", ctx.get("lang", ""))
+        ctx["new_requests"] = reply.get("new_requests", 0)
         # isnewrequest (Spider.cpp:12484-12506): request (re)added after
         # the last reply was spidered
         ctx["is_new_request"] = \

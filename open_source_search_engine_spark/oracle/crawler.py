@@ -108,6 +108,7 @@ class Request:
     was_parent_indexed: bool = False
     is_docid_based: bool = False
     has_authority_inlink: bool = False
+    in_google: bool = False         # m_inGoogle (always-valid model)
 
 
 @dataclass
@@ -122,6 +123,7 @@ class Reply:
     lang: str = ""
     content_hash32: int = 0               # m_contentHash32 (Spider.h:869)
     percent_changed_per_day: float = 0.0  # Spider.h:846
+    new_requests: int = 0                 # m_newRequests (newinlinks)
 
 
 def content_hash32(html) -> int:
@@ -265,6 +267,7 @@ class OracleCrawler:
                      was_parent_indexed=rq.was_parent_indexed,
                      is_docid_based=rq.is_docid_based,
                      has_authority_inlink=rq.has_authority_inlink,
+                     in_google=rq.in_google,
                      site_pages=site_pages.get(rq.host, 0),
                      domain_pages=dom_pages.get(rq.domain, 0),
                      seed_count=seed_count.get(rq.host, 0),
@@ -277,6 +280,7 @@ class OracleCrawler:
                     err_code=rep.err_code, err_count=rep.err_count,
                     http_status=rep.http_status, is_indexed=rep.is_indexed,
                     percent_changed_per_day=rep.percent_changed_per_day,
+                    new_requests=rep.new_requests,
                     spidered_time=rep.spidered_time_ms // 1000),
                 now_ms // 1000, site_list=self.site_list)
             idx = urlfilter.evaluate(cfg.rules, ctx)
@@ -372,11 +376,12 @@ class OracleCrawler:
                         ftime - prev.spidered_time_ms > 0):
                     pcd = 100.0 / ((ftime - prev.spidered_time_ms)
                                    / 86400000.0)
-                self.state.replies.append(Reply(
+                this_reply = Reply(
                     uh48=uh, first_ip=rq.first_ip, spidered_time_ms=ftime,
                     err_code=0, err_count=0, http_status=200,
                     is_indexed=True, lang=page.lang, content_hash32=ch,
-                    percent_changed_per_day=pcd))
+                    percent_changed_per_day=pcd)
+                self.state.replies.append(this_reply)
                 if rule.harvest_links:
                     html = page.html.decode("utf-8") \
                         if isinstance(page.html, (bytes, bytearray)) \
@@ -403,6 +408,8 @@ class OracleCrawler:
                                 parent_host=rq.host, parent_domain=pdom,
                                 is_rss=bool(ln.is_rss), from_harvest=True):
                             n_new += 1
+                            # m_newRequests: new requests THIS fetch added
+                            this_reply.new_requests += 1
             ip_max_fetch[rq.first_ip] = max(
                 ip_max_fetch.get(rq.first_ip, 0), ftime)
         for ip, t in ip_max_fetch.items():

@@ -82,6 +82,7 @@ REQUEST_SCHEMA = T.StructType([
     T.StructField("was_parent_indexed", T.BooleanType()),
     T.StructField("is_docid_based", T.BooleanType()),
     T.StructField("has_authority_inlink", T.BooleanType()),
+    T.StructField("in_google", T.BooleanType()),   # m_inGoogle
 ])
 
 REPLY_SCHEMA = T.StructType([
@@ -96,6 +97,9 @@ REPLY_SCHEMA = T.StructType([
     # m_contentHash32 + m_percentChangedPerDay (Spider.h:846,869)
     T.StructField("content_hash32", T.IntegerType()),
     T.StructField("percent_changed_per_day", T.DoubleType()),
+    # m_newRequests: new SpiderRequests this fetch added (newinlinks
+    # rule keyword, Spider.cpp:13339-13368)
+    T.StructField("new_requests", T.IntegerType()),
 ])
 
 
@@ -206,6 +210,7 @@ class CrawlDriver:
                 F.lit(False).alias("was_parent_indexed"),
                 F.lit(False).alias("is_docid_based"),
                 F.lit(False).alias("has_authority_inlink"),
+                F.lit(False).alias("in_google"),
             )
             .dropDuplicates(["uh48"])
         )
@@ -235,11 +240,26 @@ class CrawlDriver:
                 df = df.withColumn(f.name, F.lit(0).cast(f.dataType))
         return df
 
+    def _migrate_replies(self, df: DataFrame) -> DataFrame:
+        """Fill REPLY_SCHEMA columns missing from older snapshots."""
+        for f in REPLY_SCHEMA.fields:
+            if f.name in df.columns:
+                continue
+            if isinstance(f.dataType, T.BooleanType):
+                df = df.withColumn(f.name, F.lit(False))
+            elif isinstance(f.dataType, T.StringType):
+                df = df.withColumn(f.name, F.lit(""))
+            else:
+                df = df.withColumn(f.name, F.lit(0).cast(f.dataType))
+        return df
+
     def _read_state(self):
         requests = self.t_requests.read(self.spark)
         if requests is not None:
             requests = self._migrate_requests(requests)
         replies = self.t_replies.read(self.spark)
+        if replies is not None:
+            replies = self._migrate_replies(replies)
         ip_state = self.t_ip_state.read(self.spark)
         if replies is None:
             replies = self.spark.createDataFrame([], REPLY_SCHEMA)
@@ -331,7 +351,8 @@ class CrawlDriver:
                     "err_code", "err_count", "http_status", "is_indexed",
                     F.col("lang").alias("reply_lang"),
                     F.col("content_hash32").alias("prev_content_hash32"),
-                    F.col("percent_changed_per_day").alias("_pcd"))
+                    F.col("percent_changed_per_day").alias("_pcd"),
+                    "new_requests")
         )
 
         # ---- 2. request dedup per uh48 (C2 merge-dedup analog) --------
@@ -707,9 +728,23 @@ class CrawlDriver:
                 F.lit(True).alias("was_parent_indexed"),
                 F.lit(False).alias("is_docid_based"),
                 F.lit(False).alias("has_authority_inlink"),
+                F.lit(False).alias("in_google"),
+                "parent_uh48",  # for the per-fetch m_newRequests count
             )
         )
         new_requests = budget_ops._pin(new_requests, pins)
+        # m_newRequests (Spider.cpp:13339): how many NEW requests this
+        # fetch added — stamped onto the fetch's reply for the
+        # `newinlinks` rule keyword
+        nr_counts = (new_requests.groupBy("parent_uh48")
+                     .agg(F.count(F.lit(1)).alias("_n_newreq")))
+        new_replies = (
+            new_replies
+            .join(nr_counts,
+                  new_replies.uh48 == nr_counts.parent_uh48, "left")
+            .withColumn("new_requests",
+                        F.coalesce("_n_newreq", F.lit(0)).cast("int"))
+            .drop("parent_uh48", "_n_newreq"))
 
         # ---- 11. commit state (one snapshot per table per round) ------
         # ALL per-round counters in ONE job: cross-join the three 1-row
@@ -736,7 +771,7 @@ class CrawlDriver:
             self.t_inlinks.append(new_inlinks, {"round": rnd,
                                                 "rows": n_inl})
         if n_new > 0:
-            self.t_requests.append(new_requests,
+            self.t_requests.append(new_requests.drop("parent_uh48"),
                                    {"round": rnd, "rows": n_new})
         # ip_state merge (overwrite small table); emptiness from the
         # manifest, not a count() job

@@ -25,6 +25,9 @@ www.host003.com
 contains:host001.com/
 http://host002.com/
 -contains:/private/
+# tagged lines for the rule-level tag: keyword (round 3)
+tag:news contains:host001.com/
+tag:prio www.host003.com
 """
 
 KEYWORD_RULES = (
@@ -35,12 +38,21 @@ KEYWORD_RULES = (
     Rule("retrynum>=1 && hastmperror", 80, 1, 9, 7, 500),
     Rule("errorcount>=1", 3, 5, 1, 1, 1000, True, True),
     Rule("percentchangedperday>0.0001", 75, 1, 9, 7, 500),
+    # round-3 keyword tail (early so they can win rows): newinlinks needs
+    # a reply whose fetch harvested new urls; !ingoogle is always true in
+    # the always-valid model, gated by spiderwaited to stay selective
+    Rule("newinlinks>=5", 59, 0.005, 9, 7, 500),
+    Rule("!ingoogle && hopcount==0 && hasreply && spiderwaited>=1200",
+         57, 0.005, 9, 7, 500),
     Rule("spiderwaited>=1200 && isindexed", 70, 1, 9, 7, 500),
     # round-3 additions: list-valued ops (lang==/lang!=/tld!=) and
     # isnewrequest (Spider.cpp:12484-12506) on BOTH sides
     Rule("lang==de,fr && isindexed", 69, 1, 9, 7, 500),
     Rule("lang!=en,de && isindexed && spiderwaited>=600", 67, 1, 9, 7, 500),
     Rule("!isnewrequest && spiderwaited>=1800", 65, 1, 9, 7, 500),
+    # round-3 keyword tail: tag: (tagged site-list lines)
+    Rule("tag:news && isnew", 63, 7, 9, 7, 500),
+    Rule("tag:prio && hopcount>=1", 61, 7, 9, 7, 500),
     Rule("isrssext && isnew", 68, 7, 9, 7, 500),
     Rule("ispermalink && isnewoutlink", 66, 7, 9, 7, 500),
     Rule("hasauthorityinlink", 64, 7, 9, 7, 500),
