@@ -60,12 +60,93 @@ def test_attach_media_meta(media):
     assert out[5].format == "empty" and out[5].n_bytes == 0
 
 
-def test_decode_image_is_stubbed(media):
+def _bmp24(w, h, px):
+    """Minimal bottom-up 24-bit BI_RGB BMP from an HxWx3 RGB array."""
+    import numpy as np
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in px[::-1]:  # bottom-up
+        r = bytearray()
+        for p in row:
+            r += bytes([p[2], p[1], p[0]])  # BGR
+        r += b"\x00" * (stride - len(r))
+        body += r
+    off = 54
+    header = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off) +
+              struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                          2835, 2835, 0, 0))
+    _ = np
+    return bytes(header + body)
+
+
+def _ppm(w, h, px):
+    body = bytes(int(v) for row in px for p in row for v in p)
+    return b"P6\n%d %d\n255\n" % (w, h) + body
+
+
+def _wav_pcm16(ch, sr, samples):
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt " +
+            struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ch * 2, ch * 2,
+                        16) + b"data" + struct.pack("<I", len(data)) +
+            data)
+
+
+_PX = [[(255, 0, 0), (0, 255, 0)],
+       [(0, 0, 255), (10, 20, 30)]]  # 2x2 RGB
+
+
+def test_decode_image_bmp_ppm(spark):
+    """REAL decode path: BMP-24 and PPM P6 round-trip pixel-exact in
+    pure NumPy; compressed formats come back ok=false with the error."""
     from open_source_search_engine_spark.operators.multimodal import (
         decode_image,
     )
-    with pytest.raises(NotImplementedError):
-        decode_image(media)
+    rows = [(0, _bmp24(2, 2, _PX)), (1, _ppm(2, 2, _PX)),
+            (2, _png(4, 4))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in decode_image(df).collect()}
+    flat = [v for row in _PX for p in row for v in p]
+    for mid in (0, 1):
+        assert (out[mid].width, out[mid].height,
+                out[mid].n_channels) == (2, 2, 3)
+        assert out[mid].ok and out[mid].pixels == flat
+    assert not out[2].ok and "png" in out[2].err
+
+
+def test_resize_image_nearest(spark):
+    from open_source_search_engine_spark.operators.multimodal import (
+        decode_image, resize_image,
+    )
+    rows = [(0, _ppm(2, 2, _PX))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = resize_image(df, 4, 4).collect()[0]
+    assert out.ok and (out.width, out.height) == (4, 4)
+    # the resized payload is itself decodable PPM; nearest-neighbour of a
+    # 2x2 doubled to 4x4 repeats each pixel in 2x2 blocks
+    df2 = spark.createDataFrame([(0, out.content)],
+                                "media_id long, content binary")
+    dec = decode_image(df2).collect()[0]
+    assert dec.ok and dec.width == 4
+    px = dec.pixels
+    assert px[0:3] == px[3:6] == [255, 0, 0]       # top-left block
+    assert px[6:9] == px[9:12] == [0, 255, 0]      # top-right block
+
+
+def test_decode_audio_wav(spark):
+    import numpy as np
+    from open_source_search_engine_spark.operators.multimodal import (
+        decode_audio,
+    )
+    samples = [0, 1000, -1000, 2000, -2000, 0]
+    rows = [(0, _wav_pcm16(1, 8000, samples)), (1, b"not a wav")]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in decode_audio(df).collect()}
+    assert out[0].ok and out[0].sample_rate == 8000
+    assert out[0].n_samples == len(samples)
+    want_rms = float(np.sqrt(np.mean(np.array(samples, float) ** 2)))
+    assert abs(out[0].rms - want_rms) < 1e-9
+    assert not out[1].ok
 
 
 def test_sample_frames_shape(media):
