@@ -208,6 +208,8 @@ _BOOL_COLS = {
     # sets it in this rebuild, so it is False unless an ingest supplies
     # the column — the valid-bit skip is modeled as always-valid
     "ingoogle": "in_google",
+    # m_parentIsPingServer (Spider.cpp:12207-12211), set at harvest
+    "isparentpingserver": "parent_is_pingserver",
 }
 
 

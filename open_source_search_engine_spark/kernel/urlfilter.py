@@ -15,7 +15,8 @@ Two consumers share this table:
 Predicates implemented (the web-profile set plus the common extras from
 Spider.cpp keyword scan): isreindex ismedia isaddurl isinjected ismanualadd
 isdocidbased isindexed isnew isnewoutlink isonsamedomain isonsamesubdomain
-isparentrss isparentsitemap ispingserver isrss isroot iswww insitelist
+isparentrss isparentsitemap ispingserver isparentpingserver isrss isroot
+iswww insitelist tag:<name> ingoogle newinlinks
 isnewrequest hasreply hastmperror errorcount errorcode httpstatus hopcount
 sitenuminlinks numinlinks pagenuminlinks lang parentlang tld (lang/tld honor
 the != op) urlage age lastspidertime spiderwaited percentchangedperday
@@ -172,6 +173,7 @@ _BOOL_KEYS = {
     "insitelist": "in_site_list",
     "hasauthorityinlink": "has_authority_inlink",
     "ingoogle": "in_google",  # Spider.cpp:12182-12205 (always-valid model)
+    "isparentpingserver": "parent_is_pingserver",  # Spider.cpp:12207
 }
 
 

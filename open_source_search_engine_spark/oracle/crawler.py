@@ -48,7 +48,8 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 
-from ..kernel import extract, gbhash, robots, sitelist, urlfilter, urlnorm
+from ..kernel import (extract, gbhash, robots, sitelist, urlfilter,
+                      urlflags as _urlflags, urlnorm)
 
 
 @dataclass
@@ -109,6 +110,7 @@ class Request:
     is_docid_based: bool = False
     has_authority_inlink: bool = False
     in_google: bool = False         # m_inGoogle (always-valid model)
+    parent_is_pingserver: bool = False  # m_parentIsPingServer
 
 
 @dataclass
@@ -171,7 +173,8 @@ class OracleCrawler:
     def add_request(self, raw_url: str, hop: int, added_ms: int, rnd: int,
                     is_addurl: bool = False, parent_host: str = "",
                     parent_domain: str = "", is_rss: bool = False,
-                    from_harvest: bool = False) -> bool:
+                    from_harvest: bool = False,
+                    parent_is_pingserver: bool = False) -> bool:
         url = urlnorm.canonicalize(raw_url)
         if not url:
             return False
@@ -192,6 +195,7 @@ class OracleCrawler:
             same_dom=(dom != "" and dom == parent_domain),
             is_rss=is_rss, is_new_outlink=from_harvest,
             was_parent_indexed=from_harvest,
+            parent_is_pingserver=parent_is_pingserver,
         ))
         return True
 
@@ -268,6 +272,7 @@ class OracleCrawler:
                      is_docid_based=rq.is_docid_based,
                      has_authority_inlink=rq.has_authority_inlink,
                      in_google=rq.in_google,
+                     parent_is_pingserver=rq.parent_is_pingserver,
                      site_pages=site_pages.get(rq.host, 0),
                      domain_pages=dom_pages.get(rq.domain, 0),
                      seed_count=seed_count.get(rq.host, 0),
@@ -406,7 +411,9 @@ class OracleCrawler:
                                 ln.url, hop=rq.hop_count + 1,
                                 added_ms=ftime, rnd=rnd,
                                 parent_host=rq.host, parent_domain=pdom,
-                                is_rss=bool(ln.is_rss), from_harvest=True):
+                                is_rss=bool(ln.is_rss), from_harvest=True,
+                                parent_is_pingserver=_urlflags
+                                .is_ping_server(rq.url)):
                             n_new += 1
                             # m_newRequests: new requests THIS fetch added
                             this_reply.new_requests += 1

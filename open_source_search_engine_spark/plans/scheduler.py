@@ -83,6 +83,7 @@ REQUEST_SCHEMA = T.StructType([
     T.StructField("is_docid_based", T.BooleanType()),
     T.StructField("has_authority_inlink", T.BooleanType()),
     T.StructField("in_google", T.BooleanType()),   # m_inGoogle
+    T.StructField("parent_is_pingserver", T.BooleanType()),
 ])
 
 REPLY_SCHEMA = T.StructType([
@@ -211,6 +212,7 @@ class CrawlDriver:
                 F.lit(False).alias("is_docid_based"),
                 F.lit(False).alias("has_authority_inlink"),
                 F.lit(False).alias("in_google"),
+                F.lit(False).alias("parent_is_pingserver"),
             )
             .dropDuplicates(["uh48"])
         )
@@ -729,6 +731,9 @@ class CrawlDriver:
                 F.lit(False).alias("is_docid_based"),
                 F.lit(False).alias("has_authority_inlink"),
                 F.lit(False).alias("in_google"),
+                # m_parentIsPingServer (Spider.cpp:12207-12211)
+                Fc.is_ping_server_col(F.col("parent_url"))
+                .alias("parent_is_pingserver"),
                 "parent_uh48",  # for the per-fetch m_newRequests count
             )
         )

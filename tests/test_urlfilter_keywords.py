@@ -33,6 +33,7 @@ tag:prio www.host003.com
 KEYWORD_RULES = (
     Rule("ismedia", 100, 0, 99, 1, 1000, True, True),
     Rule("ispingserver", 100, 0, 0, 1, 1000),
+    Rule("isparentpingserver && hopcount>=9", 100, 0, 0, 1, 1000),
     Rule("isdocidbased", 99, 0, 99, 1, 1000),
     Rule("!insitelist && !ismanualadd", 98, 0, 99, 1, 1000, True, True),
     Rule("retrynum>=1 && hastmperror", 80, 1, 9, 7, 500),
