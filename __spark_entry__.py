@@ -542,6 +542,20 @@ def q_spam_hosts(spark, sf_dir):
                         is_spam_host_col(F.col("host"), F.lit("com"))))
 
 
+def q_spam_hosts_derived(spark, sf_dir):
+    """Same Spark column as q_spam_hosts, but against the FULL
+    independent SQL re-derivation of the needle scan (see
+    _spam_hosts_derived_oracle_sql) — lowercased host to match."""
+    from open_source_search_engine_spark.functions.filters import (
+        is_spam_host_col,
+    )
+    docs = _docs(spark, sf_dir)
+    host = F.lower(_synth_host(F.col("doc_id"), F.col("source")))
+    return (docs.select(F.col("doc_id"), host.alias("host"))
+            .withColumn("is_spam",
+                        is_spam_host_col(F.col("host"), F.lit("com"))))
+
+
 def q_url_filter_rules(spark, sf_dir):
     """B: first-match-wins rule language over url-intrinsic predicates
     (ismedia/isrssext/ispermalink/iswww+isroot) — the compiled when-chain
@@ -695,6 +709,52 @@ def _simhash_md5_oracle_sql() -> str:
     """
 
 
+def _spam_hosts_derived_oracle_sql() -> str:
+    """INDEPENDENT DuckDB re-derivation of Url::isSpam + the full isAdult
+    needle table (kernel/spamwords.py ← Lang.cpp:467-676): strip the tld,
+    split the remainder on [.-], any segment containing a needle (modulo
+    its exception list) is spam; 30+-char hosts with ≥4 hyphens are spam.
+    Unlike the `spam_hosts` oracle (an expected-verdict regression pin),
+    this restates the ENTIRE needle scan in SQL, so a transcription error
+    in any needle/exception would mismatch."""
+    from open_source_search_engine_spark.kernel.spamwords import (
+        CONDITIONAL_NEEDLES, SPAM_NEEDLES,
+    )
+
+    def q(x: str) -> str:
+        return "'" + x.replace("'", "''") + "'"
+
+    conds = [f"contains(g, {q(n)})" for n in SPAM_NEEDLES]
+    for n, exceptions in CONDITIONAL_NEEDLES:
+        c = f"contains(g, {q(n)})"
+        for e in exceptions:
+            c += f" AND NOT contains(g, {q(e)})"
+        conds.append(f"({c})")
+    adult = " OR ".join(conds)
+    return f"""
+        WITH h AS (
+          SELECT doc_id,
+                 lower('www.' || source || '-' ||
+                 (['clean','porn','sussex','analog','sexpert','gaybar',
+                   'bdsm','kinko','fickle','documentcloud'])
+                 [CAST(doc_id % 10 AS INT) + 1] || '.com') AS host
+          FROM documents),
+        c AS (
+          SELECT doc_id, host,
+                 CASE WHEN host LIKE '%.com'
+                      THEN substr(host, 1, length(host) - 4)
+                      ELSE host END AS core
+          FROM h)
+        SELECT doc_id, host,
+               ((length(core) > 30 AND
+                 length(core) - length(replace(core, '-', '')) >= 4)
+                OR len(list_filter(
+                     string_split(replace(core, '-', '.'), '.'),
+                     g -> length(g) > 0 AND ({adult}))) > 0) AS is_spam
+        FROM c
+    """
+
+
 def _lsh_ann_oracle_sql() -> str:
     """DuckDB restatement of q_lsh_ann: identical deterministic
     hyperplane literals → identical sign-bit buckets → bucket join →
@@ -794,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,
         "spam_hosts": q_spam_hosts,
+        "spam_hosts_derived": q_spam_hosts_derived,
         "url_filter_rules": q_url_filter_rules,
         "sitelist_membership": q_sitelist_membership,
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -1181,6 +1242,7 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "lsh_ann": _lsh_ann_oracle_sql(),
+        "spam_hosts_derived": _spam_hosts_derived_oracle_sql(),
         "minhash_lsh_md5": _minhash_md5_oracle_sql(),
         "simhash_md5": _simhash_md5_oracle_sql(),
         # minhash_lsh / simhash / simhash_pairs / crawl_round_schedule:

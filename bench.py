@@ -213,55 +213,70 @@ def frontier_sched_plan(spark, requests, replies, cfg=None):
 
 
 def run_frontier_bench(spark, n_rows: int) -> dict:
+    """Frontier scheduling throughput with PARQUET inputs — the product
+    reads snapshot-table parquet (Iceberg in production), so the timed
+    plan is scan → dedup → join → filter → politeness → winners →
+    budget.  Generation is untimed (written once per row count, reused
+    across runs); each timed execution is a fresh read (fresh lineage —
+    no shuffle-file or cache reuse).  The earlier cached-DataFrame input
+    variant measured faster single-level but scales worse: deserializing
+    cached blocks is memory-bandwidth-bound, parquet decode is CPU work
+    that parallelizes cleanly — and a real frontier lives in storage,
+    not in executor cache."""
+    import shutil
+    import tempfile
+
     from open_source_search_engine_spark.sources.frontier_gen import (
         gen_frontier, gen_replies_for,
     )
-    requests = gen_frontier(spark, n_rows)
-    replies = gen_replies_for(requests)
-    # materialize inputs first so we time the scheduling core, not the gen
-    requests = requests.persist()
-    replies = replies.persist()
-    n_in = requests.count()
-    _ = replies.count()
+
+    base = os.environ.get("OSSE_BENCH_DATADIR",
+                          os.path.join(tempfile.gettempdir(),
+                                       "osse_bench_frontier"))
+
+    def ensure(rows: int) -> tuple[str, str]:
+        ddir = os.path.join(base, f"r{rows}")
+        req_p, rep_p = f"{ddir}/requests", f"{ddir}/replies"
+        if not os.path.exists(f"{ddir}/_DONE"):
+            shutil.rmtree(ddir, ignore_errors=True)
+            gen_frontier(spark, rows).write.mode("overwrite") \
+                .parquet(req_p)
+            gen_replies_for(spark.read.parquet(req_p)) \
+                .write.mode("overwrite").parquet(rep_p)
+            open(f"{ddir}/_DONE", "w").close()
+        return req_p, rep_p
+
+    req_p, rep_p = ensure(n_rows)
+
+    def execute(rq: str, rp: str) -> tuple[int, float]:
+        requests = spark.read.parquet(rq)
+        replies = spark.read.parquet(rp)
+        t = time.time()
+        n = frontier_sched_plan(spark, requests, replies).count()
+        return n, time.time() - t
+
     # one warmup execution (JIT + codegen compile) — a production crawl
     # runs thousands of rounds, so steady-state is the honest number.
     # The warmup runs the IDENTICAL plan on a small slice (codegen and
-    # JIT are data-size independent), so multi-hundred-second warmups at
-    # scaling row counts don't burn the measurement window.
-    # 8M keeps the warmup plan shape identical to the big run (replies
-    # side is over the broadcast threshold → same SMJ codegen classes)
+    # JIT are data-size independent; 8M keeps the replies side over the
+    # broadcast threshold so the plan shape matches), so multi-hundred-
+    # second warmups at scaling row counts don't burn the window.
     wu_rows = min(n_rows, int(os.environ.get("OSSE_BENCH_WARMUP_ROWS",
                                              "8000000")))
     if wu_rows < n_rows:
-        wu_req = gen_frontier(spark, wu_rows).persist()
-        wu_rep = gen_replies_for(wu_req).persist()
-        wu_req.count()
-        wu_rep.count()
-        frontier_sched_plan(spark, wu_req, wu_rep).count()
-        wu_req.unpersist()
-        wu_rep.unpersist()
+        execute(*ensure(wu_rows))
     else:
-        frontier_sched_plan(spark, requests, replies).count()
+        execute(req_p, rep_p)
     inner = int(os.environ.get("OSSE_BENCH_INNER", "3"))
     best_dt = None
     n_sched = 0
     for _ in range(inner):
-        spark.catalog.clearCache()
-        requests = requests.persist()
-        replies = replies.persist()
-        requests.count()
-        replies.count()
-        t = time.time()
-        out = frontier_sched_plan(spark, requests, replies)
-        n_sched = out.count()
-        dt = time.time() - t
+        n_sched, dt = execute(req_p, rep_p)
         if best_dt is None or dt < best_dt:
             best_dt = dt
-    requests.unpersist()
-    replies.unpersist()
-    return {"rows_in": n_in, "scheduled": n_sched,
+    return {"rows_in": n_rows, "scheduled": n_sched,
             "sec": round(best_dt, 3),
-            "urls_per_sec": round(n_in / best_dt, 1)}
+            "urls_per_sec": round(n_rows / best_dt, 1)}
 
 
 def _run_level_subprocess(cpus: int, rows: int) -> dict:

@@ -25,15 +25,27 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(2 * cpus, 8)
+        # SPARK_GRAFT_SHUFFLE pins the partition count independent of
+        # core count — for scaling-efficiency runs the SAME job (same
+        # partitioning, bounded per-task memory) must run at both
+        # parallelism levels, exactly like a production conf sized to
+        # the data rather than to one cluster's width.
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE")
+        shuffle_partitions = int(env_sp) if env_sp else max(2 * cpus, 8)
+    # AQE default on (runtime coalescing + skew splits). SPARK_GRAFT_AQE=0
+    # turns it off: every AQE query stage is a driver-side materialization
+    # barrier (~0.5-1 s each), a fixed cost that a fixed-partitioning
+    # batch job like the scheduling bench does not need.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "1") != "0"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
+        .config("spark.sql.adaptive.coalescePartitions.enabled",
+                str(aqe).lower())
+        .config("spark.sql.adaptive.skewJoin.enabled", str(aqe).lower())
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory",
