@@ -226,6 +226,8 @@ def run_frontier_bench(spark, n_rows: int) -> dict:
     import shutil
     import tempfile
 
+    from pyspark.sql import functions as F
+
     from open_source_search_engine_spark.sources.frontier_gen import (
         gen_frontier, gen_replies_for,
     )
@@ -248,12 +250,19 @@ def run_frontier_bench(spark, n_rows: int) -> dict:
 
     req_p, rep_p = ensure(n_rows)
 
-    def execute(rq: str, rp: str) -> tuple[int, float]:
+    def execute(rq: str, rp: str) -> tuple[int, float, int]:
         requests = spark.read.parquet(rq)
         replies = spark.read.parquet(rp)
         t = time.time()
-        n = frontier_sched_plan(spark, requests, replies).count()
-        return n, time.time() - t
+        # count + an order-independent xor checksum of the scheduled set
+        # in ONE action — levels must produce IDENTICAL output (the
+        # protocol's "same job" guarantee; bit_xor because ANSI sum
+        # overflows on xxhash64 values)
+        row = (frontier_sched_plan(spark, requests, replies)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.bit_xor(F.xxhash64("uh48", "fetch_time_ms"))
+                    .alias("chk")).collect()[0])
+        return row.n, time.time() - t, row.chk
 
     # one warmup execution (JIT + codegen compile) — a production crawl
     # runs thousands of rounds, so steady-state is the honest number.
@@ -270,13 +279,15 @@ def run_frontier_bench(spark, n_rows: int) -> dict:
     inner = int(os.environ.get("OSSE_BENCH_INNER", "3"))
     best_dt = None
     n_sched = 0
+    chk = 0
     for _ in range(inner):
-        n_sched, dt = execute(req_p, rep_p)
+        n_sched, dt, chk = execute(req_p, rep_p)
         if best_dt is None or dt < best_dt:
             best_dt = dt
     return {"rows_in": n_rows, "scheduled": n_sched,
             "sec": round(best_dt, 3),
-            "urls_per_sec": round(n_rows / best_dt, 1)}
+            "urls_per_sec": round(n_rows / best_dt, 1),
+            "checksum": chk}
 
 
 def _run_level_subprocess(cpus: int, rows: int) -> dict:
@@ -299,6 +310,9 @@ def _run_level_subprocess(cpus: int, rows: int) -> dict:
 
 def main():
     scaling = "--scaling" in sys.argv
+    # --scaling-only: skip the 32-core headline/frontier pass and run just
+    # the pinned two-level protocol (for SCALING_RESULT.json refreshes)
+    scaling_only = "--scaling-only" in sys.argv
     frontier_only = "--frontier-only" in sys.argv
     result = {}
 
@@ -309,21 +323,24 @@ def main():
         print(json.dumps(r))
         return
 
-    spark = make_spark(CPUS)
-    queries = run_headline(spark)
-    fb = run_frontier_bench(spark, FRONTIER_ROWS)
-    spark.stop()
-    result.update({
-        "metric": "frontier_sched_urls_per_sec",
-        "value": fb["urls_per_sec"],
-        "unit": "sec",
-        "queries": queries,
-        "sf": _sf_of(SF_DIR),
-        "frontier_rows": fb["rows_in"],
-        "frontier_scheduled": fb["scheduled"],
-        "frontier_sec": fb["sec"],
-        "cpus": CPUS,
-    })
+    if scaling_only:
+        scaling = True
+    else:
+        spark = make_spark(CPUS)
+        queries = run_headline(spark)
+        fb = run_frontier_bench(spark, FRONTIER_ROWS)
+        spark.stop()
+        result.update({
+            "metric": "frontier_sched_urls_per_sec",
+            "value": fb["urls_per_sec"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": _sf_of(SF_DIR),
+            "frontier_rows": fb["rows_in"],
+            "frontier_scheduled": fb["scheduled"],
+            "frontier_sec": fb["sec"],
+            "cpus": CPUS,
+        })
 
     if scaling:
         rows = int(os.environ.get("OSSE_SCALING_FRONTIER",
@@ -349,6 +366,11 @@ def main():
         n, n4 = levels
         eff = (rates[n4]["urls_per_sec"] / rates[n]["urls_per_sec"]) \
             / (n4 / n)
+        # both levels must have produced the IDENTICAL schedule — a
+        # level that got faster by computing something different is a
+        # broken measurement, not a scaling win
+        assert rates[n].get("checksum") == rates[n4].get("checksum"), \
+            f"output mismatch across levels: {rates}"
         result["scaling"] = {
             f"cores[{n}]": rates[n],
             f"cores[{n4}]": rates[n4],

@@ -24,6 +24,22 @@ from ..kernel.urlfilter import (
 )
 
 
+def has_contact_info_col(text: Column) -> Column:
+    """Column twin of kernel.contact.has_contact_info — SAME pattern
+    strings (kernel/contact.py pins them to the Python/Java-identical
+    regex subset)."""
+    from ..kernel import contact
+    t = F.coalesce(text, F.lit(""))
+    return (t.rlike(contact.EMAIL_RE) | t.rlike(contact.MAILTO_RE)
+            | t.rlike(contact.PHONE_RE))
+
+
+def has_address_col(text: Column) -> Column:
+    """Column twin of kernel.contact.has_address."""
+    from ..kernel import contact
+    return F.coalesce(text, F.lit("")).rlike(contact.ADDRESS_RE)
+
+
 def is_media_col(url: Column) -> Column:
     """Url::hasMediaExtension as a pure column expression
     (Url.cpp:2470-2549): 3/4-char extension prefix match."""
@@ -270,6 +286,16 @@ def _term_col(term) -> Column:
         # tag_matches_col; standalone compile without the attach step
         # fails loudly at analysis (no site list to look in)
         col = F.col(f"_p_tag_{term.value}")
+    elif kw in ("hascontactinfo", "hasaddress"):
+        # Spider.cpp:11770,11787: REPLY-backed bits with the valid-bit
+        # skip — no reply ⇒ the RULE is skipped regardless of '!', so
+        # negation applies to the bit, not to the has_reply guard
+        # (mirrors kernel/urlfilter.py evaluate_term's None sentinel)
+        bit = F.coalesce(
+            F.col({"hascontactinfo": "has_contact_info",
+                   "hasaddress": "has_address"}[kw]).cast("boolean"),
+            F.lit(False))
+        return F.col("has_reply") & ((~bit) if term.negate else bit)
     elif kw == "newinlinks":
         # newinlinks (Spider.cpp:13339-13368): # of new SpiderRequests
         # the LATEST reply's fetch added; requires a reply

@@ -17,6 +17,8 @@ Spider.cpp keyword scan): isreindex ismedia isaddurl isinjected ismanualadd
 isdocidbased isindexed isnew isnewoutlink isonsamedomain isonsamesubdomain
 isparentrss isparentsitemap ispingserver isparentpingserver isrss isroot
 iswww insitelist tag:<name> ingoogle newinlinks
+hascontactinfo hasaddress (reply-backed bits with the reference's
+valid-bit RULE-SKIP semantics — kernel/contact.py predicates)
 isnewrequest hasreply hastmperror errorcount errorcode httpstatus hopcount
 sitenuminlinks numinlinks pagenuminlinks lang parentlang tld (lang/tld honor
 the != op) urlage age lastspidertime spiderwaited percentchangedperday
@@ -213,6 +215,16 @@ def evaluate_term(term: Term, ctx: dict) -> bool:
             "==": lhs == rhs, "!=": lhs != rhs, ">=": lhs >= rhs,
             "<=": lhs <= rhs, ">": lhs > rhs, "<": lhs < rhs,
         }[op]
+    elif kw in ("hascontactinfo", "hasaddress"):
+        # Spider.cpp:11770,11787: reply-backed bits with the valid-bit
+        # skip — without a reply the whole RULE is skipped, even for the
+        # negated form (`if (!srep) continue` / valid-bit continue), so
+        # return the skip sentinel BEFORE the generic negate flip
+        if not ctx.get("has_reply"):
+            return None
+        field = {"hascontactinfo": "has_contact_info",
+                 "hasaddress": "has_address"}[kw]
+        result = bool(ctx.get(field))
     elif kw in ("matchesucp", "matchesupr", "matchesucr"):
         # per-collection URL regex rows: ucr/upr are the compiled-regex
         # twins of the ucp/upp pattern lists (Spider.cpp:11687-11757,
@@ -237,7 +249,9 @@ def evaluate_term(term: Term, ctx: dict) -> bool:
 
 
 def evaluate(rules: tuple[Rule, ...], ctx: dict) -> int:
-    """First-match-wins rule index (getUrlFilterNum semantics)."""
+    """First-match-wins rule index (getUrlFilterNum semantics).  A term
+    may return the ``None`` sentinel ("skip this rule", the reference's
+    valid-bit continue) — falsy, so ``all`` rejects the rule."""
     for idx, rule in enumerate(rules):
         terms = parse_expression(rule.expression)
         if all(evaluate_term(t, ctx) for t in terms):
@@ -287,6 +301,8 @@ def build_context(request: dict, reply: dict | None, now: int,
         ctx["spider_waited"] = max(0, now - ctx["last_spider_time"])
         ctx["lang"] = reply.get("lang", ctx.get("lang", ""))
         ctx["new_requests"] = reply.get("new_requests", 0)
+        ctx["has_contact_info"] = reply.get("has_contact_info", False)
+        ctx["has_address"] = reply.get("has_address", False)
         # isnewrequest (Spider.cpp:12484-12506): request (re)added after
         # the last reply was spidered
         ctx["is_new_request"] = \

@@ -127,6 +127,38 @@ def get_title(html: str, max_len: int = 256) -> str:
     return ""
 
 
+def best_sentence(text: str, terms: list[str]) -> tuple[int, str, int]:
+    """Sentence-granularity restatement of Summary::getBestWindow
+    (Summary.cpp:656): split visible text on '. ', score each sentence by
+    the NUMBER OF DISTINCT query terms it contains (the reference's
+    match-diversity component), pick the highest score, earliest sentence
+    on ties; score 0 falls back to the leading sentence (the essence
+    behaviour above).  Returns (index, sentence, score).
+
+    This is the shared spec for the Spark serving tier
+    (plans/serving.py) and its DuckDB oracle — substring containment on
+    the lowercased sentence, literal '. ' split, no regex."""
+    sents = text.split(". ")
+    best = (0, sents[0] if sents else "", 0)
+    for i, s in enumerate(sents):
+        low = s.lower()
+        score = sum(1 for t in terms if t.lower() in low)
+        if score > best[2]:
+            best = (i, s, score)
+    return best
+
+
+def highlight(text: str, terms: list[str]) -> str:
+    """Highlight::set analog (Highlight.cpp:359): wrap every
+    word-boundary occurrence of a query term in <b></b>, case preserved,
+    case-insensitive match."""
+    import re as _re
+    if not terms:
+        return text
+    pat = "(?i)\\b(" + "|".join(_re.escape(t) for t in terms) + ")\\b"
+    return _re.sub(pat, r"<b>\1</b>", text)
+
+
 def make_summary(html: str, query_terms: list[str] | None = None,
                  max_len: int = 200) -> str:
     """Snippet: window of visible text around the first query-term hit,

@@ -178,16 +178,19 @@ def simhash64(df: DataFrame, text_col: str = "text",
 
 def simhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
-                       bucket_cap: int = 64) -> DataFrame:
-    """SimHash near-dup pairs via Hamming-band blocking: split the 64-bit
-    signature into ``max_hamming+1`` equal bands — two signatures within
-    Hamming distance ≤ max_hamming must agree exactly on at least one band
-    (pigeonhole), so candidates come from band-equality buckets, then the
-    exact distance check is a single codegen ``bit_count(a^b)``.  Returns
-    (id_a, id_b, hamming).  Bucket joins bounded by ``bucket_cap``."""
+                       bucket_cap: int = 64, hasher: str = "xxhash64",
+                       bits: int = 64) -> DataFrame:
+    """SimHash near-dup pairs via Hamming-band blocking: split the
+    ``bits``-wide signature into ``max_hamming+1`` equal bands — two
+    signatures within Hamming distance ≤ max_hamming must agree exactly on
+    at least one band (pigeonhole), so candidates come from band-equality
+    buckets, then the exact distance check is a single codegen
+    ``bit_count(a^b)``.  Returns (id_a, id_b, hamming).  Bucket joins
+    bounded by ``bucket_cap``.  ``hasher='md5'`` + ``bits<=60`` makes the
+    whole pipeline SQL-oracle-checkable (same twin idea as simhash64)."""
     n_bands = max_hamming + 1
-    width = 64 // n_bands
-    sig = simhash64(df, text_col, id_col)
+    width = bits // n_bands
+    sig = simhash64(df, text_col, id_col, hasher=hasher, bits=bits)
     mask = (1 << width) - 1
     band_cols = [
         F.struct(F.lit(b).alias("band"),

@@ -48,8 +48,8 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 
-from ..kernel import (extract, gbhash, robots, sitelist, urlfilter,
-                      urlflags as _urlflags, urlnorm)
+from ..kernel import (contact, extract, gbhash, robots, sitelist,
+                      urlfilter, urlflags as _urlflags, urlnorm)
 
 
 @dataclass
@@ -77,12 +77,15 @@ class CrawlConfig:
     # per-IP top-K survives any salt split; the oracle is unaffected)
     winner_salt_buckets: int = 0
     # Spark-only, parity-neutral: host-keyed tables (hostmeta, parsed
-    # robots rules) are broadcast ONLY while |hosts| is at or below this;
-    # above it they go through ordinary shuffle joins (at the 10^10-URL
-    # design point hostmeta is 10^7-10^9 hosts — a forced broadcast
-    # would be a multi-GB driver OOM).  AQE may still pick a broadcast
-    # by measured size on the shuffle path.
+    # robots rules) are broadcast ONLY while their estimated bytes
+    # (|hosts| × schema-estimated row width, functions/joins.py) fit
+    # broadcast_host_max_bytes AND |hosts| is at or below the row cap;
+    # above either they go through ordinary shuffle joins (at the
+    # 10^10-URL design point hostmeta is 10^7-10^9 hosts — a forced
+    # broadcast would be a multi-GB driver OOM).  AQE may still pick a
+    # broadcast by measured size on the shuffle path.
     broadcast_host_threshold: int = 10_000_000
+    broadcast_host_max_bytes: int = 128 * 1024 * 1024
 
 
 @dataclass
@@ -126,6 +129,11 @@ class Reply:
     content_hash32: int = 0               # m_contentHash32 (Spider.h:869)
     percent_changed_per_day: float = 0.0  # Spider.h:846
     new_requests: int = 0                 # m_newRequests (newinlinks)
+    # m_hasContactInfo / m_hasAddress (Spider.h:665,919; consumed at
+    # Spider.cpp:11770,11787) — derived from page content at fetch time
+    # by the kernel/contact.py predicates
+    has_contact_info: bool = False
+    has_address: bool = False
 
 
 def content_hash32(html) -> int:
@@ -286,6 +294,8 @@ class OracleCrawler:
                     http_status=rep.http_status, is_indexed=rep.is_indexed,
                     percent_changed_per_day=rep.percent_changed_per_day,
                     new_requests=rep.new_requests,
+                    has_contact_info=rep.has_contact_info,
+                    has_address=rep.has_address,
                     spidered_time=rep.spidered_time_ms // 1000),
                 now_ms // 1000, site_list=self.site_list)
             idx = urlfilter.evaluate(cfg.rules, ctx)
@@ -381,11 +391,16 @@ class OracleCrawler:
                         ftime - prev.spidered_time_ms > 0):
                     pcd = 100.0 / ((ftime - prev.spidered_time_ms)
                                    / 86400000.0)
+                hstr = page.html.decode("utf-8") \
+                    if isinstance(page.html, (bytes, bytearray)) \
+                    else page.html
                 this_reply = Reply(
                     uh48=uh, first_ip=rq.first_ip, spidered_time_ms=ftime,
                     err_code=0, err_count=0, http_status=200,
                     is_indexed=True, lang=page.lang, content_hash32=ch,
-                    percent_changed_per_day=pcd)
+                    percent_changed_per_day=pcd,
+                    has_contact_info=contact.has_contact_info(hstr),
+                    has_address=contact.has_address(hstr))
                 self.state.replies.append(this_reply)
                 if rule.harvest_links:
                     html = page.html.decode("utf-8") \

@@ -14,6 +14,8 @@ Grammar (subset matching the reference's default behaviour):
   country: type: and any doc column; url: substring; ext: url extension;
   suburl: url component; title: title word; urlhash: uh48 equality —
   Query.h:69-110 field table)
+- ``link:url`` / ``links:url`` / ``sitelink:site`` → link-graph
+  restriction served from the linkdb index (Query.h:80-83, Linkdb.cpp)
 - ``gbfacetint:/gbfacetfloat:`` → numeric facet counts (gbfacetstr twins)
 - ``gbsortby:field``   → sort override
 - ``gbfacetstr:field`` → return facet counts instead of results
@@ -35,12 +37,11 @@ from . import search as S
 
 FIELD_RE = re.compile(r"^([a-z]+):(.+)$")
 
-DEFAULT_SYNONYMS = {
-    "fast": ["quick", "rapid"],
-    "quick": ["fast"],
-    "big": ["large", "huge"],
-    "data": ["information"],
-}
+# built-in dictionary (G6): the reference ships a dictionary-driven
+# Speller (Speller.cpp:2251); this rebuild ships a compact curated table
+# (functions/synonyms.py) as the default, overridable per call — the
+# per-collection dict override analog
+from ..functions.synonyms import DEFAULT_DICTIONARY as DEFAULT_SYNONYMS
 
 
 @dataclass
@@ -139,21 +140,50 @@ def parse(q: str, synonyms: dict[str, list[str]] | None = None
 
 def _phrase_match(postings: DataFrame, docs: DataFrame,
                   phrase: list[str],
-                  split_pattern: str = " ") -> DataFrame:
+                  split_pattern: str = " ",
+                  postings_pos: DataFrame | None = None) -> DataFrame:
     """Docs containing the exact phrase: cheap candidate prune via AND on
     the terms, then POSITIONAL verification — consecutive positions from
     the positional postings (the reference verifies phrases with
-    position pairs, Posdb.cpp:5437+; round 2 used a substring check)."""
+    position pairs, Posdb.cpp:5437+; round 2 used a substring check).
+
+    With a PREBUILT ``postings_pos`` (the serving-tier state — posdb is
+    built once per index generation, Posdb.cpp), verification is a
+    left-semi prune of that table: no per-query re-tokenization."""
     cand = S.and_query(postings, phrase).select("doc_id")
-    cand_docs = docs.join(cand, "doc_id", "left_semi")
-    pp = S.build_postings_positional(cand_docs,
-                                     split_pattern=split_pattern)
+    if postings_pos is not None:
+        pp = postings_pos.join(cand, "doc_id", "left_semi")
+    else:
+        cand_docs = docs.join(cand, "doc_id", "left_semi")
+        pp = S.build_postings_positional(cand_docs,
+                                         split_pattern=split_pattern)
     return S.phrase_match_positional(pp, phrase).select("doc_id")
 
 
+LINK_FIELDS = ("link", "links", "sitelink")
+
+
 def run_query(q: str, docs: DataFrame, postings: DataFrame, k: int = 10,
-              synonyms: dict[str, list[str]] | None = None) -> DataFrame:
+              synonyms: dict[str, list[str]] | None = None,
+              linkdb: DataFrame | None = None,
+              n_docs: int | None = None,
+              postings_pos: DataFrame | None = None) -> DataFrame:
+    """Compile + execute one query.
+
+    Serving-tier state is PASSED IN, not rebuilt per query: ``n_docs``
+    (corpus size — changes per index build; without it a per-query
+    ``docs.count()`` action fires), ``postings_pos`` (prebuilt positional
+    posdb for phrase verification), and ``linkdb`` (the link-graph index
+    from plans/search.py:build_linkdb, required by
+    ``link:``/``links:``/``sitelink:`` — Query.h:80-83, served from
+    Linkdb in the reference)."""
     pq = parse(q, synonyms)
+    link_restricts = [(key, pq.fields.pop(key))
+                      for key in LINK_FIELDS if key in pq.fields]
+    if link_restricts and linkdb is None:
+        raise ValueError(
+            "link:/links:/sitelink: queries need a linkdb "
+            "(plans/search.py:build_linkdb) — Query.h:80-83")
     matched: DataFrame | None = None
     all_terms: list[str] = []
     for group in pq.and_groups:
@@ -162,8 +192,15 @@ def run_query(q: str, docs: DataFrame, postings: DataFrame, k: int = 10,
         matched = g if matched is None else matched.join(g, "doc_id")
     for phrase in pq.phrases:
         all_terms.extend(phrase)
-        ph = _phrase_match(postings, docs, phrase)
+        ph = _phrase_match(postings, docs, phrase,
+                           postings_pos=postings_pos)
         matched = ph if matched is None else matched.join(ph, "doc_id")
+    # link:/links:/sitelink: restrictions — pure linkdb lookups
+    # (plans/search.py:link_query/sitelink_query; Linkdb.cpp range scan)
+    for key, val in link_restricts:
+        lk = (S.sitelink_query(linkdb, val) if key == "sitelink"
+              else S.link_query(linkdb, val))
+        matched = lk if matched is None else matched.join(lk, "doc_id")
     if matched is None:
         matched = docs.select("doc_id")
     if pq.not_terms:
@@ -219,7 +256,8 @@ def run_query(q: str, docs: DataFrame, postings: DataFrame, k: int = 10,
     # scoring
     matched2 = enriched.select("doc_id").distinct()
     if all_terms:
-        n_docs = docs.count()
+        if n_docs is None:
+            n_docs = docs.count()
         base = (postings.filter(F.col("term").isin(all_terms))
                 .groupBy("doc_id")
                 .agg(F.sum("tf").alias("sum_tf"),

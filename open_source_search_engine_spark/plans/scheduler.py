@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import filters as Fc
+from ..functions import joins
 from ..kernel import sitelist as sitelist_mod
 from ..operators import budget as budget_ops
 from ..operators import windows as windows_ops
@@ -101,6 +102,10 @@ REPLY_SCHEMA = T.StructType([
     # m_newRequests: new SpiderRequests this fetch added (newinlinks
     # rule keyword, Spider.cpp:13339-13368)
     T.StructField("new_requests", T.IntegerType()),
+    # m_hasContactInfo / m_hasAddress (Spider.h:665,919; rule keywords
+    # Spider.cpp:11770,11787) — kernel/contact.py page predicates
+    T.StructField("has_contact_info", T.BooleanType()),
+    T.StructField("has_address", T.BooleanType()),
 ])
 
 
@@ -169,10 +174,17 @@ class CrawlDriver:
         self.host_rules = self.t_robots.read(spark)
 
     def _bcast_hosts(self, df: DataFrame) -> DataFrame:
-        """Broadcast a host-keyed dimension only while it is small enough
-        to live on the driver; otherwise leave it to a shuffle join."""
-        thr = getattr(self.cfg, "broadcast_host_threshold", 10_000_000)
-        return F.broadcast(df) if self._n_hosts <= thr else df
+        """Broadcast a host-keyed dimension only while its ESTIMATED
+        BYTES (rows × schema-estimated width, functions/joins.py) fit the
+        driver budget — a row-count gate alone under-counts fat schemas
+        (10M hosts × 60B ≈ 600MB would pass a 10M-row gate; VERDICT r3
+        item 4).  The legacy row knob still applies as a secondary cap."""
+        return joins.broadcast_if_small(
+            df, self._n_hosts,
+            max_bytes=getattr(self.cfg, "broadcast_host_max_bytes",
+                              joins.DEFAULT_BROADCAST_MAX_BYTES),
+            max_rows=getattr(self.cfg, "broadcast_host_threshold",
+                             10_000_000))
 
     # ------------------------------------------------------------------
     def seed(self, seeds_path: str) -> int:
@@ -354,7 +366,12 @@ class CrawlDriver:
                     F.col("lang").alias("reply_lang"),
                     F.col("content_hash32").alias("prev_content_hash32"),
                     F.col("percent_changed_per_day").alias("_pcd"),
-                    "new_requests")
+                    "new_requests",
+                    # contact/address bits ride the reply join only when
+                    # a rule reads them (keeps the hot shuffle narrow)
+                    *(["has_contact_info", "has_address"]
+                      if not {"hascontactinfo", "hasaddress"}
+                      .isdisjoint(self._rule_kws) else []))
         )
 
         # ---- 2. request dedup per uh48 (C2 merge-dedup analog) --------
@@ -635,6 +652,15 @@ class CrawlDriver:
                      F.col("prev_spidered_ms")) > 0),
                    F.lit(100.0) / days_frac)
              .otherwise(F.lit(0.0)).alias("percent_changed_per_day"),
+            # m_hasContactInfo / m_hasAddress: page-content regex
+            # predicates (kernel/contact.py spec; oracle stamps the
+            # identical bits) — utf-8 decode of the fetched bytes
+            (F.col("html").isNotNull() &
+             Fc.has_contact_info_col(F.col("html").cast("string")))
+            .alias("has_contact_info"),
+            (F.col("html").isNotNull() &
+             Fc.has_address_col(F.col("html").cast("string")))
+            .alias("has_address"),
         )
 
         # ---- 10. harvest outlinks (E5-E8) ------------------------------

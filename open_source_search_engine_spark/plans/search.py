@@ -118,6 +118,48 @@ def build_postings_positional(docs: DataFrame, id_col: str = "doc_id",
                  F.sort_array(F.collect_list("pos")).alias("positions")))
 
 
+def build_linkdb(links: DataFrame, id_col: str = "doc_id",
+                 target_col: str = "target_url") -> DataFrame:
+    """Linkdb build (Linkdb.cpp: keys are <linkeeUrlHash><linkerDocId>,
+    written at INDEX time so `link:` queries are a pure key lookup,
+    Linkdb.h:28-90): from (linker doc_id, target_url) edges, stamp the
+    canonical 48-bit hash and host of each TARGET once.  Query-time
+    `link:`/`sitelink:` filters then compare against a driver-computed
+    constant — no per-query UDF, no per-query scan of anything but this
+    table.  Returns (doc_id, target_url, target_uh48, target_host)."""
+    from ..functions import udfs
+    return (links
+            .select(F.col(id_col).alias("doc_id"),
+                    udfs.canonicalize_udf(F.col(target_col))
+                    .alias("target_url"))
+            .filter(F.length("target_url") > 0)
+            .withColumn("target_uh48", udfs.uh48_udf(F.col("target_url")))
+            .withColumn("target_host", udfs.host_udf(F.col("target_url"))))
+
+
+def link_query(linkdb: DataFrame, url: str) -> DataFrame:
+    """`link:url` / `links:url` (Query.h:80-82 FIELD_LINK/FIELD_LINKS):
+    docs containing a link to the given url — Linkdb range scan on
+    uh48(linkee) (Linkdb.cpp getListSize key range).  The hash is
+    computed driver-side from the query literal; the plan is a JVM-only
+    equality filter."""
+    from ..kernel import gbhash, urlnorm
+    canon = urlnorm.canonicalize(url)
+    target = gbhash.uh48(canon) if canon else -1
+    return (linkdb.filter(F.col("target_uh48") == F.lit(target))
+            .select("doc_id").distinct())
+
+
+def sitelink_query(linkdb: DataFrame, site: str) -> DataFrame:
+    """`sitelink:site` (Query.h:83 FIELD_SITELINK): docs linking to ANY
+    page on the site — Linkdb stores the linkee SITE hash in the key
+    prefix for exactly this scan (Linkdb.h:35 linkeeSiteHash32)."""
+    s = site.lower().rstrip("/")
+    s = s.split("://", 1)[-1]
+    return (linkdb.filter(F.col("target_host") == F.lit(s))
+            .select("doc_id").distinct())
+
+
 def _min_cross_gap(pa: Column, pb: Column) -> Column:
     """min |x - y| over two SORTED int arrays as a single linear scan:
     tag-merge the arrays, then one F.aggregate pass tracking the last
@@ -217,15 +259,22 @@ def search(docs: DataFrame, postings: DataFrame, terms: list[str], k: int = 10,
            lang: str | None = None,
            proximity_weight: float = 0.0,
            postings_pos: DataFrame | None = None,
-           split_pattern: str = " ") -> DataFrame:
+           split_pattern: str = " ",
+           n_docs: int | None = None) -> DataFrame:
     """Full pipeline: AND match → score (+ optional positional proximity
     bonus, the Posdb.cpp:5437+ pair scoring) → (lang: filter) → site
     clustering → top-k → titlerec join (docid→doc broadcast lookup).
 
     ``proximity_weight`` > 0 adds proximity_weight * sum over term pairs
     of 1/(1+min_gap) to the score, computed with the linear sorted-merge
-    scan; pass ``postings_pos`` to reuse a prebuilt positional table."""
-    n_docs = docs.count()
+    scan; pass ``postings_pos`` to reuse a prebuilt positional table.
+
+    A serving tier passes ``n_docs`` (corpus size changes per index
+    build, not per query) so a query plan triggers ZERO driver actions —
+    the reference reads its doc count off Titledb metadata, not by
+    scanning (Titledb.cpp)."""
+    if n_docs is None:
+        n_docs = docs.count()
     matched = and_query(postings, terms)
     scored = score(matched, postings, terms, n_docs)
     if proximity_weight > 0 and len(terms) >= 2:

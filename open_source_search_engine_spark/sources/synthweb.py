@@ -87,7 +87,7 @@ _PAGE_TEMPLATE = """<html><head><title>{title}</title>
 <select><option>one<option>two</select>
 <marquee>invisible scrolling text {pid}</marquee>
 <!-- comment node -->
-{links}
+{contact}{links}
 <p>Tail paragraph with entity &copy; {pid}.</p>
 </body></html>"""
 
@@ -172,6 +172,16 @@ def make_pages(hostmeta: pd.DataFrame, mean_pages: int = 10,
             basetag = ""
             if pid % 13 == 5:
                 basetag = f'<base href="http://{host}/deep/">\n'
+            # deterministic contact-info / street-address snippets so the
+            # hascontactinfo/hasaddress rule keywords (kernel/contact.py)
+            # see both truth values in every corpus
+            contact = ""
+            if pid % 3 == 0:
+                contact = (f"<p>Contact us: info@{host} or call "
+                           f"(555) 123-4567.</p>\n")
+            elif pid % 4 == 1:
+                contact = (f"<p>Visit {100 + pid} Evergreen Street, "
+                           f"Springfield.</p>\n")
             html = _PAGE_TEMPLATE.format(
                 title=f"{host}{path}",
                 pid=pid,
@@ -179,6 +189,7 @@ def make_pages(hostmeta: pd.DataFrame, mean_pages: int = 10,
                 words=" ".join(f"w{(pid * 31 + k) % 97}" for k in range(12)),
                 links="\n".join(links),
                 basetag=basetag,
+                contact=contact,
             )
             url = f"http://{host}{path}"
             ts = T0_MS - 86_400_000 + (hi * 1000 + pid) * 1000

@@ -98,3 +98,19 @@ def test_resume_from_snapshot(corpus, spark, tmp_path_factory,
            drv2.schedule_df().orderBy("round", "seq").collect()]
     want = [(s["round"], s["seq"], s["url"]) for s in oracle_state.schedule]
     assert got == want
+
+
+def test_schedule_golden_pin(spark):
+    """The driver artifact's crawl order is SELF-CHECKING (VERDICT r3
+    item 9): q_crawl_round_schedule emits order_hash = md5(round:seq:url)
+    per row; the xor-fold over the deterministic 2-round corpus is pinned
+    here.  Any change to crawl ORDER (not just the row set) moves the
+    constant — bump it only with an intentional scheduling-semantics
+    change (this round: synthweb gained contact/address snippets)."""
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()["crawl_round_schedule"](spark, "")
+    rows = df.select("order_hash").collect()
+    x = 0
+    for r in rows:
+        x ^= r.order_hash
+    assert (len(rows), x) == (26, 278416880268104768)

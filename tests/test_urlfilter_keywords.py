@@ -10,6 +10,7 @@ oracle.  This is the user-programmable-filters contract
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from open_source_search_engine_spark.kernel.urlfilter import Rule
 from open_source_search_engine_spark.oracle.crawler import (
@@ -39,6 +40,10 @@ KEYWORD_RULES = (
     Rule("retrynum>=1 && hastmperror", 80, 1, 9, 7, 500),
     Rule("errorcount>=1", 3, 5, 1, 1, 1000, True, True),
     Rule("percentchangedperday>0.0001", 75, 1, 9, 7, 500),
+    # round-4: page-content contact/address bits (Spider.cpp:11770,11787;
+    # kernel/contact.py) — reply-backed, rule skipped without a reply
+    Rule("hascontactinfo && hopcount>=1", 74, 1, 9, 7, 500),
+    Rule("!hasaddress && isindexed && spiderwaited>=600", 73, 1, 9, 7, 500),
     # round-3 keyword tail (early so they can win rows): newinlinks needs
     # a reply whose fetch harvested new urls; !ingoogle is always true in
     # the always-valid model, gated by spiderwaited to stay selective
@@ -178,3 +183,73 @@ def test_sitelist_enforced(oracle_state):
         if not ok:
             # must be a manual add (seed root)
             assert s["hop_count"] == 0, f"off-list url scheduled: {url}"
+
+
+def test_contact_keywords_unit_parity(spark):
+    """hascontactinfo/hasaddress (Spider.cpp:11770,11787): reply-backed
+    bits with the valid-bit RULE-SKIP — without a reply the rule is
+    skipped even for the NEGATED form, on BOTH sides (round 4)."""
+    from open_source_search_engine_spark.functions.filters import (
+        compile_rules,
+    )
+    from open_source_search_engine_spark.kernel import urlfilter
+    rules = (
+        Rule("hascontactinfo", 90, 1, 9, 7, 500),
+        Rule("!hasaddress", 80, 1, 9, 7, 500),
+        Rule("hasaddress", 70, 1, 9, 7, 500),
+        Rule("default", 10, 60, 9, 7, 1000),
+    )
+    cases = [
+        # (has_reply, has_contact_info, has_address, expected rule_idx)
+        (True, True, False, 0),
+        (True, False, False, 1),   # !hasaddress matches with reply
+        (True, False, True, 2),
+        (False, True, True, 3),    # no reply: ALL three rules skipped
+        (False, False, False, 3),
+    ]
+    rows = [(i, hr, ci, ad) for i, (hr, ci, ad, _) in enumerate(cases)]
+    df = spark.createDataFrame(
+        rows, "id int, has_reply boolean, has_contact_info boolean, "
+              "has_address boolean")
+    got = {r.id: r.rule_idx
+           for r in df.withColumn("_o", compile_rules(rules))
+           .select("id", "_o.rule_idx").collect()}
+    for i, (hr, ci, ad, want_idx) in enumerate(cases):
+        ctx = dict(has_reply=hr, has_contact_info=ci, has_address=ad)
+        want = urlfilter.evaluate(rules, ctx)
+        assert want == want_idx, f"oracle case {i}: {want}"
+        assert got[i] == want, f"case {i}: spark={got[i]} oracle={want}"
+
+
+def test_contact_predicates_kernel_column_parity(spark):
+    """kernel.contact predicates == functions.filters Column twins,
+    row-for-row, over text with emails/phones/mailto/addresses and
+    near-misses."""
+    from open_source_search_engine_spark.functions.filters import (
+        has_address_col, has_contact_info_col,
+    )
+    from open_source_search_engine_spark.kernel import contact
+    texts = [
+        "write to info@example.com for details",
+        "call (555) 123-4567 now",
+        "call +1 555-123-4567 now",
+        '<a href="MAILTO:x@y.org">mail</a>',
+        "visit 742 Evergreen Street, Springfield",
+        "at 1 Infinite Loop Court yard",
+        "suite talk with no number",          # no
+        "meet me at the street corner",       # no number → no
+        "user at example dot com",            # no
+        "55512 34567",                        # no separator shape → no
+        "",                                   # empty
+        None,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id int, text string")
+    got = {r.id: (r.ci, r.ad)
+           for r in df.select(
+               "id",
+               has_contact_info_col(F.col("text")).alias("ci"),
+               has_address_col(F.col("text")).alias("ad")).collect()}
+    for i, t in enumerate(texts):
+        want = (contact.has_contact_info(t), contact.has_address(t))
+        assert got[i] == want, f"row {i} ({t!r}): spark={got[i]} want={want}"
