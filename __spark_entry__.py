@@ -49,16 +49,21 @@ def _r6(col):
 # ---------------------------------------------------------------------------
 
 def q_latest_reply(spark, sf_dir):
-    """G1/C2: only the latest reply per key survives (window row_number)."""
+    """G1/C2: only the latest reply per key survives.  groupBy + max_by
+    (argmax over the (ts, event_id) order key) instead of a row_number
+    window: the hash aggregation gets a map-side partial combine and
+    skips the full partition sort — same rows, ~2-3x less shuffle+sort
+    (the scheduler's own latest-reply step uses the identical pattern,
+    operators/windows.argmax_per_key)."""
     ev = _ev(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc("ts"), F.desc("event_id"))
-    return (ev.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+    return (ev.groupBy("user_id")
+            .agg(F.max_by(F.struct("ts", "event_type", "value"),
+                          F.struct("ts", "event_id")).alias("_r"))
             .select("user_id",
-                    F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
-                    F.col("event_type").alias("last_type"),
-                    F.col("value").alias("last_value")))
+                    F.unix_micros(F.col("_r.ts").cast("timestamp"))
+                    .alias("last_ts_us"),
+                    F.col("_r.event_type").alias("last_type"),
+                    F.col("_r.value").alias("last_value")))
 
 
 def q_winners_topk(spark, sf_dir):
@@ -704,6 +709,23 @@ def q_search_summary(spark, sf_dir):
                     .alias("summary_score"), "snippet"))
 
 
+def q_search_spell(spark, sf_dir):
+    """Spell recommendation (Speller::getRecommendation,
+    Speller.cpp:263 → Language::getRecommendation, Language.cpp:1385:
+    edit-distance candidates ranked by popularity).  Vocabulary = corpus
+    terms with df as popularity; levenshtein<=2 candidates, top-5 per
+    misspelled query term — plans/search.spell_suggest."""
+    from open_source_search_engine_spark.plans.search import (
+        build_postings, spell_suggest,
+    )
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    p = build_postings(docs, split_pattern=" ")
+    return (spell_suggest(p, ["cat", "quary"])
+            .select("qterm", "term", "df",
+                    F.col("dist").cast("int").alias("dist"),
+                    F.col("rank").cast("int").alias("rnk")))
+
+
 def q_simhash_pairs_md5(spark, sf_dir):
     """SimHash Hamming-band near-dup candidates over the md5-derived
     32-bit signature — the oracle-checkable twin of q_simhash_pairs
@@ -1005,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_link": q_search_link,
         "search_summary": q_search_summary,
         "search_sitelink": q_search_sitelink,
+        "search_spell": q_search_spell,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_md5": q_minhash_lsh_md5,
         "simhash": q_simhash,
@@ -1333,6 +1356,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.n_chars
             FROM documents d JOIN matched m ON d.doc_id = m.doc_id
             WHERE d.doc_id < 49
+        """,
+        "search_spell": """
+            -- Speller::getRecommendation / Language::getRecommendation
+            -- restated: corpus vocabulary with df as popularity,
+            -- levenshtein<=2 candidates, top-5 per misspelled term
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS term
+              FROM documents WHERE doc_id < 50),
+            vocab AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM toks WHERE length(term) > 0 GROUP BY term),
+            q(qterm) AS (VALUES ('cat'), ('quary')),
+            cand AS (
+              SELECT q.qterm, v.term, v.df,
+                     CAST(levenshtein(v.term, q.qterm) AS INT) AS dist
+              FROM vocab v CROSS JOIN q
+              WHERE abs(length(v.term) - length(q.qterm)) <= 2
+                AND levenshtein(v.term, q.qterm) <= 2
+                AND v.term <> q.qterm),
+            ranked AS (
+              SELECT qterm, term, CAST(df AS BIGINT) AS df, dist,
+                     CAST(row_number() OVER (
+                         PARTITION BY qterm
+                         ORDER BY df DESC, dist ASC, term ASC) AS INT)
+                         AS rnk
+              FROM cand)
+            SELECT qterm, term, df, dist, rnk
+            FROM ranked WHERE rnk <= 5
         """,
         "search_sitelink": """
             -- linkers to ANY page on doc 0's site: targets whose host

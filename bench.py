@@ -64,7 +64,7 @@ def run_headline(spark) -> dict[str, float]:
     return out
 
 
-def frontier_sched_plan(spark, requests, replies, cfg=None):
+def frontier_sched_plan(spark, requests, replies, cfg=None, pins=None):
     """The scheduling core as one lazy DataFrame (see plans/scheduler.py
     for the full pipeline with fetch/extract)."""
     from pyspark.sql import Window
@@ -79,11 +79,22 @@ def frontier_sched_plan(spark, requests, replies, cfg=None):
     budget = 500_000
     winner_k = 2000
 
-    from open_source_search_engine_spark.operators import windows as wops
-    latest = (wops.argmax_per_key(replies, "uh48", ["spidered_time_ms"])
-              .select("uh48",
-                      F.col("spidered_time_ms").alias("last_spidered_ms"),
-                      "err_code", "err_count"))
+    # PLAN NOTE (round 4, found via REST stage metrics at 64M rows):
+    # max_by/min_by with a STRUCT value or ordering compiles to
+    # SortAggregate (struct agg buffers aren't HashAggregate-mutable) —
+    # the dedup stage was one giant sort, 1.55k CPU-s of the 1.83k-CPU-s
+    # execution.  Per-column max_by/min_by over PRIMITIVE values with a
+    # single long ordering key keeps the whole aggregation in
+    # HashAggregate + whole-stage codegen (no sort).  Row-atomicity
+    # caveat: with per-column picks, tied ordering keys could mix rows;
+    # here ties are exact-duplicate payloads (reply fields are functions
+    # of uh48; request ordkeys are hash-distinct) and the cross-level
+    # output-checksum assert would catch any drift.
+    latest = (replies.groupBy("uh48").agg(
+        F.max("spidered_time_ms").alias("last_spidered_ms"),
+        F.max_by("err_code", F.col("spidered_time_ms")).alias("err_code"),
+        F.max_by("err_count", F.col("spidered_time_ms"))
+        .alias("err_count")))
     # NARROW the hot path: the reference stores url-derived facts as
     # SpiderRequest flag bits (m_hasMediaExtension, m_isWWWSubdomain,
     # Spider.h:592-698) so scheduling never carries the url string.
@@ -116,11 +127,17 @@ def frontier_sched_plan(spark, requests, replies, cfg=None):
              bit("_p_iswww", 22) + bit("_p_isroot", 23) +
              bit("_p_insitelist", 24)).alias("flags"))
     )
-    req = (packed.groupBy("uh48").agg(
-               F.min_by(F.struct("first_ip", "added_time_ms", "flags"),
-                        F.struct(F.col("flags").bitwiseAND(255),
-                                 F.col("added_time_ms"))).alias("_r"))
-           .select("uh48", "_r.first_ip", "_r.added_time_ms", "_r.flags"))
+    # winner pick = lexicographic min of (hop_count, added_time_ms),
+    # packed into ONE long ordering key (hop is 8 bits; epoch-ms fits
+    # 44 bits until year 2527) so each min_by has a primitive
+    # (value, ord) buffer -> HashAggregate, not SortAggregate (see the
+    # PLAN NOTE above).
+    _ord = (F.shiftleft(F.col("flags").bitwiseAND(255), 44) +
+            F.col("added_time_ms"))
+    req = packed.groupBy("uh48").agg(
+        F.min_by("first_ip", _ord).alias("first_ip"),
+        F.min_by("added_time_ms", _ord).alias("added_time_ms"),
+        F.min_by("flags", _ord).alias("flags"))
 
     def unbit(n):
         return F.shiftright(F.col("flags"), n).bitwiseAND(1) == 1
@@ -202,7 +219,7 @@ def frontier_sched_plan(spark, requests, replies, cfg=None):
     # narrow before the band-pruned budget so its cache holds only the
     # output columns
     cand = cand.select("uh48", "first_ip", "priority", "fetch_time_ms")
-    sched = budget_select(cand, budget)
+    sched = budget_select(cand, budget, pins=pins)
     # hydrate urls for the scheduled set only: broadcast the (small)
     # schedule against the frontier scan — no extra shuffle (doledb
     # stores the winning request; same late-materialization idea)
@@ -217,12 +234,15 @@ def run_frontier_bench(spark, n_rows: int) -> dict:
     reads snapshot-table parquet (Iceberg in production), so the timed
     plan is scan → dedup → join → filter → politeness → winners →
     budget.  Generation is untimed (written once per row count, reused
-    across runs); each timed execution is a fresh read (fresh lineage —
-    no shuffle-file or cache reuse).  The earlier cached-DataFrame input
-    variant measured faster single-level but scales worse: deserializing
-    cached blocks is memory-bandwidth-bound, parquet decode is CPU work
-    that parallelizes cleanly — and a real frontier lives in storage,
-    not in executor cache."""
+    across runs); each timed execution starts from a CLEARED cache and
+    unpersists its own pins (see execute() — without this, CacheManager
+    plan-matching silently serves later executions from the previous
+    run's persisted candidates and the number measures cache reads, the
+    r3 inflation).  The earlier cached-DataFrame input variant measured
+    faster single-level but scales worse: deserializing cached blocks is
+    memory-bandwidth-bound, parquet decode is CPU work that parallelizes
+    cleanly — and a real frontier lives in storage, not in executor
+    cache."""
     import shutil
     import tempfile
 
@@ -251,18 +271,35 @@ def run_frontier_bench(spark, n_rows: int) -> dict:
     req_p, rep_p = ensure(n_rows)
 
     def execute(rq: str, rp: str) -> tuple[int, float, int]:
+        # MEASUREMENT HONESTY (round-4 fix): budget_select persists the
+        # candidate plan (it is consumed 3x), and Spark's CacheManager
+        # matches cached plans by CANONICALIZED subtree — so without an
+        # explicit unpersist, every execution after the first silently
+        # re-reads the previous run's cached candidates instead of doing
+        # the work ("Asked to cache already cached data" warnings).  The
+        # r3 bench rewrite timed exactly that, inflating the headline
+        # ~10-40x.  Each timed execution now starts from a clean cache
+        # and unpersists its own pins, so the number is the true
+        # scan → dedup → join → filter → politeness → winners → budget
+        # cost (the product's run_round has always pinned/unpersisted
+        # per round — only the bench was affected).
+        spark.catalog.clearCache()
         requests = spark.read.parquet(rq)
         replies = spark.read.parquet(rp)
+        pins: list = []
         t = time.time()
         # count + an order-independent xor checksum of the scheduled set
         # in ONE action — levels must produce IDENTICAL output (the
         # protocol's "same job" guarantee; bit_xor because ANSI sum
         # overflows on xxhash64 values)
-        row = (frontier_sched_plan(spark, requests, replies)
+        row = (frontier_sched_plan(spark, requests, replies, pins=pins)
                .agg(F.count(F.lit(1)).alias("n"),
                     F.bit_xor(F.xxhash64("uh48", "fetch_time_ms"))
                     .alias("chk")).collect()[0])
-        return row.n, time.time() - t, row.chk
+        dt = time.time() - t
+        for p in pins:
+            p.unpersist()
+        return row.n, dt, row.chk
 
     # one warmup execution (JIT + codegen compile) — a production crawl
     # runs thousands of rounds, so steady-state is the honest number.

@@ -52,6 +52,43 @@ def term_stats(postings: DataFrame) -> DataFrame:
         F.countDistinct("doc_id").alias("df"))
 
 
+def spell_suggest(postings: DataFrame, terms: list[str],
+                  max_dist: int = 2, k: int = 5) -> DataFrame:
+    """Spell recommendation: Speller::getRecommendation fragments the
+    query (Speller.cpp:263,387) and Language::getRecommendation picks
+    the "highest popularity recommendation" among edit-distance
+    candidates from the dictionary (Language.cpp:1385-1386, weights at
+    Language.cpp:94-100).  Restated over the corpus itself: the
+    vocabulary with df as the popularity score, candidates within
+    ``levenshtein <= max_dist`` of each query term, top-k per term by
+    (df desc, dist asc, term asc — fully deterministic).
+
+    Scale shape: the query terms are a tiny exploded literal crossed
+    against the DISTINCT-term table (|vocab| << |postings|), length-band
+    pruned BEFORE the levenshtein so the quadratic-in-length edit
+    distance only runs on plausible candidates — a map-side filter with
+    no join shuffle; the only exchange is the per-term top-k over the
+    few surviving candidates.  Deviation (documented in COVERAGE.md):
+    no phonetic/soundslike channel — the reference's phonet generation
+    needs its shipped dictionary data files.
+    """
+    from ..operators.windows import topk_per_key
+    vocab = term_stats(postings)
+    cand = (vocab
+            .select("term", "df",
+                    F.explode(F.array(*[F.lit(t.lower()) for t in terms]))
+                    .alias("qterm"))
+            .filter(F.abs(F.length("term") - F.length("qterm"))
+                    <= max_dist)
+            .withColumn("dist", F.levenshtein("term", "qterm"))
+            .filter((F.col("dist") <= max_dist)
+                    & (F.col("term") != F.col("qterm"))))
+    return (topk_per_key(cand, "qterm",
+                         [F.desc("df"), F.asc("dist"), F.asc("term")], k)
+            .select("qterm", "term", "df", "dist",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 def and_query(postings: DataFrame, terms: list[str]) -> DataFrame:
     """Posting-list intersection: docs containing ALL terms
     (intersectLists10_r zipper → groupBy HAVING)."""

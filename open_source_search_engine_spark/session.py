@@ -51,7 +51,18 @@ def get_spark(
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.ui.enabled", "false")
+        # SPARK_GRAFT_SHJ=1: prefer shuffled-hash over sort-merge joins.
+        # With shuffle.partitions pinned to bound per-partition build
+        # size, a co-partitioned high-cardinality equi-join (frontier
+        # dedup ⋈ latest-reply) needs no sort at all — the upstream
+        # hash aggregations then run sort-free end-to-end.  Off by
+        # default: SMJ is the safe choice under unknown skew.
+        .config("spark.sql.join.preferSortMergeJoin",
+                "false" if os.environ.get("SPARK_GRAFT_SHJ") == "1"
+                else "true")
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_UI") == "1"
+                else "false")
         .config("spark.driver.host", "127.0.0.1")
     )
     return builder.getOrCreate()

@@ -162,3 +162,27 @@ def test_search_proximity_fold(spark):
     rows = sorted(prox.collect(), key=lambda r: -r.score)
     assert rows[0].doc_id == 0  # adjacent pair wins
     assert rows[0].score > rows[1].score
+
+
+def test_spell_suggest(spark):
+    """Speller::getRecommendation restated (Language.cpp:1385): the
+    highest-df edit-distance candidate wins; ties break by (dist, term).
+    Pinned golden on a tiny corpus."""
+    from open_source_search_engine_spark.plans.search import (
+        build_postings, spell_suggest,
+    )
+    docs = spark.createDataFrame([
+        (0, "spark spar scan span spawn", "en"),
+        (1, "spark scan span", "en"),
+        (2, "spark scan", "en"),
+    ], ["doc_id", "text", "lang"])
+    p = build_postings(docs, split_pattern=" ")
+    got = [(r.qterm, r.term, r.df, r.dist, r.rank)
+           for r in spell_suggest(p, ["spak"], max_dist=2, k=3)
+           .orderBy("rank").collect()]
+    # df: spark=3 scan=3 spar=1 span=2 spawn=1
+    # dist to 'spak': spark=1 spar=1 span=1 spawn=2 scan=2
+    # order: (df desc, dist asc, term asc) -> spark(3,1) scan(3,2) span(2,1)
+    assert got == [("spak", "spark", 3, 1, 1),
+                   ("spak", "scan", 3, 2, 2),
+                   ("spak", "span", 2, 1, 3)]
