@@ -79,11 +79,8 @@ def compact_inlinks(spark: SparkSession, table: SnapshotTable) -> int:
 
 
 def compact_frontier(spark: SparkSession, workdir: str) -> dict:
-    import os
-    n_req = compact_requests(
-        spark, SnapshotTable(os.path.join(workdir, "requests")))
-    n_rep = compact_replies(
-        spark, SnapshotTable(os.path.join(workdir, "replies")))
-    n_inl = compact_inlinks(
-        spark, SnapshotTable(os.path.join(workdir, "inlinks")))
+    from ..sources.snapstore import frontier_table
+    n_req = compact_requests(spark, frontier_table(workdir, "requests"))
+    n_rep = compact_replies(spark, frontier_table(workdir, "replies"))
+    n_inl = compact_inlinks(spark, frontier_table(workdir, "inlinks"))
     return {"requests": n_req, "replies": n_rep, "inlinks": n_inl}

@@ -119,11 +119,12 @@ class CrawlDriver:
         self.cfg = cfg or CrawlConfig()
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
-        self.t_requests = SnapshotTable(os.path.join(workdir, "requests"))
-        self.t_replies = SnapshotTable(os.path.join(workdir, "replies"))
+        from ..sources.snapstore import frontier_table
+        self.t_requests = frontier_table(workdir, "requests")
+        self.t_replies = frontier_table(workdir, "replies")
         self.t_ip_state = SnapshotTable(os.path.join(workdir, "ip_state"))
         self.t_schedule = SnapshotTable(os.path.join(workdir, "schedule"))
-        self.t_inlinks = SnapshotTable(os.path.join(workdir, "inlinks"))
+        self.t_inlinks = frontier_table(workdir, "inlinks")
         self.t_metrics = SnapshotTable(os.path.join(workdir, "metrics"))
         self.pages = spark.read.parquet(pages_path)
         self.hostmeta = spark.read.parquet(hostmeta_path)

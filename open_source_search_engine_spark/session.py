@@ -51,6 +51,16 @@ def get_spark(
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Accept co-partitioning on a SUBSET of the join keys: the
+        # frontier tables are stored bucketed by first_ip (spiderdb key
+        # order), and the dedup join's keys are (first_ip, uh48) — with
+        # the default (true) Spark re-shuffles BOTH sides onto the full
+        # key pair even though equal first_ip already co-locates every
+        # matching row.  Subset co-partitioning is semantically safe
+        # (both sides hash-partitioned on the same subset ⇒ equal join
+        # keys meet in the same partition); it is what lets a scheduling
+        # round run with ZERO frontier-scale shuffles.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # SPARK_GRAFT_SHJ=1: prefer shuffled-hash over sort-merge joins.
         # With shuffle.partitions pinned to bound per-partition build
         # size, a co-partitioned high-cardinality equi-join (frontier

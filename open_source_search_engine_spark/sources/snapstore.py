@@ -35,10 +35,47 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Frontier storage clustering: uh48 is the dedup/join key of every
+# frontier-scale operation in the round (C2 merge-dedup, latest-reply
+# argmax, request⋈reply join, inlink countDistinct), so the frontier
+# tables cluster on it — the Spark analog of spiderdb being key-sorted
+# so Rdb merge-dedup never re-sorts (Spider.cpp:13582 dedupSpiderdbList
+# runs over an already-ordered list).  At 10^10 urls raise via env; the
+# value only changes file layout, never results.
+FRONTIER_BUCKETS = int(os.environ.get("OSSE_FRONTIER_BUCKETS", "32"))
+_FRONTIER_BUCKETED = ("requests", "replies", "inlinks")
+
+
+def frontier_table(workdir: str, name: str) -> "SnapshotTable":
+    """The canonical constructor for a crawl-state table: frontier-scale
+    tables get the uh48 bucket layout, the small per-round tables stay
+    plain parquet.  Scheduler and compaction must agree on the spec —
+    both construct through here."""
+    if name in _FRONTIER_BUCKETED:
+        return SnapshotTable(os.path.join(workdir, name),
+                             bucket_by=(["uh48"], FRONTIER_BUCKETS),
+                             sort_by=["uh48"])
+    return SnapshotTable(os.path.join(workdir, name))
+
 
 class SnapshotTable:
-    def __init__(self, path: str):
+    """``bucket_by=(cols, n)`` declares the table's storage clustering
+    (Iceberg's ``bucket(n, col)`` partition transform; spiderdb's
+    firstip-major key order, Spider.h:432-470).  Snapshot dirs written
+    through :meth:`overwrite` (i.e. compactions) are then written
+    BUCKETED and re-registered to the session catalog on read, so
+    downstream groupBy/join/window on the bucket key run without a
+    shuffle.  Dirs appended between compactions are plain parquet — a
+    mixed snapshot falls back to a flat union read (Iceberg proper keeps
+    the transform across appends; our shim regains it at the next
+    compaction, which the crawl driver runs periodically anyway)."""
+
+    def __init__(self, path: str,
+                 bucket_by: tuple[list[str], int] | None = None,
+                 sort_by: list[str] | None = None):
         self.path = path
+        self.bucket_by = bucket_by
+        self.sort_by = sort_by
         os.makedirs(path, exist_ok=True)
 
     # ------------------------------------------------------------------
@@ -89,13 +126,32 @@ class SnapshotTable:
         os.replace(tmp, self._manifest_path())  # atomic commit
         return snap
 
-    def _write_dir(self, df: DataFrame, snap_hint: int) -> tuple[str, dict]:
+    def _write_dir(self, df: DataFrame, snap_hint: int,
+                   bucketed: bool = False) -> tuple[str, dict]:
         name = f"snap-{snap_hint:06d}"
         out = os.path.join(self.path, name)
-        df.write.mode("overwrite").parquet(out)
+        if bucketed and self.bucket_by is not None:
+            cols, n = self.bucket_by
+            spark = df.sparkSession
+            tmp = f"osse_snap_w_{abs(hash((self.path, snap_hint))) % 10**9}"
+            w = (df.repartition(n, *cols)
+                 .write.bucketBy(n, *cols))
+            if self.sort_by:
+                w = w.sortBy(*self.sort_by)
+            (w.option("path", out).mode("overwrite").saveAsTable(tmp))
+            # metadata lives in the manifest, not this session's catalog
+            spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        else:
+            df.write.mode("overwrite").parquet(out)
         # per-partition lineage: parquet files + row counts per file
         files = [f for f in os.listdir(out) if f.endswith(".parquet")]
         lineage = {"files": len(files)}
+        if bucketed and self.bucket_by is not None:
+            spec = {"cols": self.bucket_by[0], "n": self.bucket_by[1],
+                    "sort": self.sort_by or []}
+            with open(os.path.join(out, "_bucketed.json"), "w") as f:
+                json.dump(spec, f)
+            lineage["bucketed"] = spec
         return name, lineage
 
     def append(self, df: DataFrame, metrics: dict | None = None) -> int:
@@ -123,7 +179,7 @@ class SnapshotTable:
 
     def overwrite(self, df: DataFrame, metrics: dict | None = None) -> int:
         snap_hint = self.current_snapshot() + 1
-        name, lineage = self._write_dir(df, snap_hint)
+        name, lineage = self._write_dir(df, snap_hint, bucketed=True)
         lineage.update(metrics or {})
         return self._commit([name], "overwrite", lineage)
 
@@ -132,7 +188,36 @@ class SnapshotTable:
         dirs = self._data_dirs(snapshot)
         if not dirs:
             return None
+        if len(dirs) == 1:
+            spec_p = os.path.join(dirs[0], "_bucketed.json")
+            if os.path.exists(spec_p):
+                with open(spec_p) as f:
+                    spec = json.load(f)
+                return self._read_bucketed(spark, dirs[0], spec)
         return spark.read.parquet(*dirs)
+
+    def _read_bucketed(self, spark: SparkSession, d: str,
+                       spec: dict) -> DataFrame:
+        """Register the dir as a bucketed catalog table (bucket METADATA
+        lives in the catalog — Iceberg/HMS on a cluster, re-declared
+        per-session here) and read through it, so the scan reports
+        HashPartitioning(bucket cols) and downstream ops skip their
+        exchanges."""
+        import hashlib
+        name = f"osse_snap_{hashlib.md5(d.encode()).hexdigest()[:12]}"
+        if not spark.catalog.tableExists(name):
+            df = spark.read.parquet(d)
+            ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                            for f in df.schema.fields)
+            cl = ", ".join(spec["cols"])
+            sort = (f"SORTED BY ({', '.join(spec['sort'])})"
+                    if spec.get("sort") else "")
+            spark.sql(f"""
+                CREATE TABLE {name} ({ddl}) USING PARQUET
+                CLUSTERED BY ({cl}) {sort} INTO {spec['n']} BUCKETS
+                LOCATION '{d}'
+            """)
+        return spark.table(name)
 
     def exists(self) -> bool:
         return self.current_snapshot() > 0

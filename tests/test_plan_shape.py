@@ -54,6 +54,46 @@ def test_parquet_filter_pushdown(spark, tmp_path):
     assert "hop_count" not in scan
 
 
+def test_bucketed_frontier_plan_is_exchange_free(spark, tmp_path):
+    """With the frontier stored BUCKETED by first_ip (spiderdb key order:
+    firstip-major, urlhash48-minor — Spider.h:432-470), the scheduling
+    core's dedup aggregations, request⋈latest-reply join and per-IP
+    windows must all reuse the scan's bucket partitioning: the ONLY
+    shuffle in the whole plan is the tiny boundary-band range partition
+    inside the budget top-k.  A 10^10-row frontier cannot be re-shuffled
+    every round — this is the property that makes the round scale."""
+    import bench
+    from open_source_search_engine_spark.sources.frontier_gen import (
+        gen_frontier, gen_replies_for,
+    )
+    B = 8
+    names = {"requests": "t_bkt_req", "replies": "t_bkt_rep"}
+    req = gen_frontier(spark, 20_000)
+    (req.repartition(B, "first_ip").write.bucketBy(B, "first_ip")
+     .sortBy("first_ip", "uh48")
+     .option("path", str(tmp_path / "requests"))
+     .mode("overwrite").saveAsTable(names["requests"]))
+    (gen_replies_for(req).repartition(B, "first_ip")
+     .write.bucketBy(B, "first_ip").sortBy("first_ip", "uh48")
+     .option("path", str(tmp_path / "replies"))
+     .mode("overwrite").saveAsTable(names["replies"]))
+    try:
+        plan_df = bench.frontier_sched_plan(
+            spark, spark.table(names["requests"]),
+            spark.table(names["replies"]))
+        s = plan_df._jdf.queryExecution().executedPlan().toString()
+        n_shuffle = (s.count("Exchange hashpartitioning")
+                     + s.count("Exchange SinglePartition"))
+        assert n_shuffle == 0, f"frontier-scale shuffle in plan:\n{s[:2000]}"
+        # the budget boundary band may range-partition (bounded by the
+        # band size, not the frontier) — nothing else may
+        assert s.count("Exchange rangepartitioning") <= 1
+        assert "Bucketed: true" in s
+    finally:
+        for nm in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {nm}")
+
+
 def test_extraction_is_arrow_batched(spark):
     """The extraction tier (cold path, runs on <= budget rows) must use
     Arrow-batched pandas UDFs, not row-at-a-time Python UDFs."""

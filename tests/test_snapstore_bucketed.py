@@ -1,0 +1,76 @@
+"""Bucketed snapshot layout: compaction overwrites store the frontier in
+spiderdb key order (clustered by uh48 — Spider.cpp:13582's
+dedupSpiderdbList runs over an already key-ordered list, never re-sorts),
+and reads re-expose that clustering to Spark so the per-round dedup
+aggregations run without a shuffle."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.sources.snapstore import (
+    SnapshotTable, frontier_table,
+)
+
+
+@pytest.fixture()
+def bucketed_tbl(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "req"),
+                      bucket_by=(["uh48"], 4), sort_by=["uh48"])
+    df = spark.range(0, 1000).select(
+        F.pmod(F.xxhash64("id"), F.lit(1 << 48)).alias("uh48"),
+        (F.col("id") % 7).alias("hop_count"),
+        F.col("id").alias("added_time_ms"))
+    t.overwrite(df, {"compaction": True})
+    return t
+
+
+def test_bucketed_roundtrip_rows_identical(spark, bucketed_tbl):
+    got = bucketed_tbl.read(spark)
+    assert got.count() == 1000
+    # marker written, read goes through the catalog-registered table
+    d = bucketed_tbl._data_dirs()[0]
+    assert os.path.exists(os.path.join(d, "_bucketed.json"))
+    chk = got.agg(F.bit_xor(F.xxhash64("uh48", "added_time_ms"))).first()[0]
+    plain = spark.read.parquet(d)
+    chk2 = plain.agg(
+        F.bit_xor(F.xxhash64("uh48", "added_time_ms"))).first()[0]
+    assert chk == chk2
+
+
+def test_bucketed_read_dedup_is_exchange_free(spark, bucketed_tbl):
+    got = bucketed_tbl.read(spark)
+    agg = got.groupBy("uh48").agg(
+        F.min_by("added_time_ms", F.struct("hop_count", "added_time_ms"))
+        .alias("added_time_ms"))
+    s = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in s
+    assert "Exchange hashpartitioning" not in s, s[:1500]
+
+
+def test_append_after_compaction_falls_back_to_flat_union(spark,
+                                                          bucketed_tbl):
+    extra = spark.range(1000, 1100).select(
+        F.pmod(F.xxhash64("id"), F.lit(1 << 48)).alias("uh48"),
+        (F.col("id") % 7).alias("hop_count"),
+        F.col("id").alias("added_time_ms"))
+    bucketed_tbl.append(extra, {"round": 1})
+    got = bucketed_tbl.read(spark)
+    assert got.count() == 1100  # mixed snapshot still reads correctly
+
+
+def test_unbucketed_tables_unchanged(spark, tmp_path):
+    t = frontier_table(str(tmp_path), "schedule")
+    assert t.bucket_by is None
+    df = spark.range(5).select(F.col("id").alias("uh48"))
+    t.overwrite(df)
+    d = t._data_dirs()[0]
+    assert not os.path.exists(os.path.join(d, "_bucketed.json"))
+    assert t.read(spark).count() == 5
+
+
+def test_frontier_table_spec(tmp_path):
+    for nm in ("requests", "replies", "inlinks"):
+        t = frontier_table(str(tmp_path), nm)
+        assert t.bucket_by is not None and t.bucket_by[0] == ["uh48"]
