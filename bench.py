@@ -103,38 +103,24 @@ def frontier_sched_plan(spark, requests, replies, cfg=None, pins=None):
         F.max_by("err_code", F.col("spidered_time_ms")).alias("err_code"),
         F.max_by("err_count", F.col("spidered_time_ms"))
         .alias("err_count")))
-    # NARROW the hot path: the reference stores url-derived facts as
-    # SpiderRequest flag bits (m_hasMediaExtension, m_isWWWSubdomain,
-    # Spider.h:592-698) so scheduling never carries the url string.
-    # Same here, literally: hop_count, page_num_inlinks and all nine
-    # booleans BIT-PACK into ONE long through the dedup shuffle
-    # (Tungsten rows pay 8 bytes per field — 11 fields → 1 cuts the
-    # shuffle bytes ~3x, and this job is memory-bandwidth-bound at high
-    # core counts).  Urls are hydrated at the end for only the
-    # scheduled set.
-    def bit(col, n):
-        return F.shiftleft(F.col(col).cast("long"), n)
-
-    packed = (
-        Fc.attach_url_predicates(requests)
-        # clamp the two counters to their 8-bit fields (mirrors the
-        # kernel's cap-20 inlink semantics) so overflow can't carry into
-        # the boolean flag bits or the min_by ordering key
-        .withColumn("hop_count",
-                    F.least(F.col("hop_count").cast("long"), F.lit(255)))
-        .withColumn("page_num_inlinks",
-                    F.least(F.col("page_num_inlinks").cast("long"),
-                            F.lit(255)))
-        .select(
-            "uh48", "first_ip", "added_time_ms",
-            (F.col("hop_count").cast("long") +
-             bit("page_num_inlinks", 8) +
-             bit("is_addurl", 16) + bit("is_injected", 17) +
-             bit("is_reindex", 18) + bit("parent_is_rss", 19) +
-             bit("parent_is_sitemap", 20) + bit("_p_ismedia", 21) +
-             bit("_p_iswww", 22) + bit("_p_isroot", 23) +
-             bit("_p_insitelist", 24)).alias("flags"))
-    )
+    # NARROW the hot path: the reference computes url-derived facts ONCE
+    # at request-build time and STORES them as SpiderRequest flag bits
+    # (m_hasMediaExtension, m_isWWWSubdomain, Spider.h:592-698) so the
+    # spider loop never re-parses url strings.  The generator does the
+    # same (frontier_gen.pack_request_flags): scheduling reads 4 narrow
+    # columns and the url string is only scanned to hydrate the
+    # scheduled winners.  The compute path below keeps old/flat datasets
+    # without a stored flag word runnable (identical bits, so the output
+    # checksum is layout-independent).
+    if "flags" in requests.columns:
+        packed = requests.select("uh48", "first_ip", "added_time_ms",
+                                 "flags")
+    else:
+        from open_source_search_engine_spark.sources.frontier_gen import (
+            pack_request_flags,
+        )
+        packed = pack_request_flags(requests).select(
+            "uh48", "first_ip", "added_time_ms", "flags")
     # winner pick = lexicographic min of (hop_count, added_time_ms),
     # packed into ONE long ordering key (hop is 8 bits; epoch-ms fits
     # 44 bits until year 2527) so each min_by has a primitive
@@ -293,7 +279,9 @@ def run_frontier_bench(spark, n_rows: int) -> dict:
         """)
 
     def ensure(rows: int) -> tuple[str, str]:
-        tag = f"r{rows}" if layout == "flat" else f"r{rows}_b{n_buckets}"
+        # f2 = generation writes the stored SpiderRequest flag word
+        tag = (f"r{rows}_f2" if layout == "flat"
+               else f"r{rows}_b{n_buckets}_f2")
         ddir = os.path.join(base, tag)
         req_p, rep_p = f"{ddir}/requests", f"{ddir}/replies"
         if not os.path.exists(f"{ddir}/_DONE"):
@@ -331,7 +319,7 @@ def run_frontier_bench(spark, n_rows: int) -> dict:
         if layout == "flat":
             return spark.read.parquet(rq), spark.read.parquet(rp)
         import re
-        rows = re.search(r"/r(\d+)_b\d+/", rq).group(1)
+        rows = re.search(r"/r(\d+)_b\d+", rq).group(1)
         return (spark.table(f"osse_req_{rows}"),
                 spark.table(f"osse_rep_{rows}"))
 

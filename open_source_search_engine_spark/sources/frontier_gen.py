@@ -78,7 +78,43 @@ def gen_frontier(spark: SparkSession, n: int, seed: int = 42,
                       F.pmod(F.xxhash64("id", F.lit(seed + 6)),
                              F.lit(12)).cast("int"))
           .drop("hostn", "id"))
-    return df
+    return pack_request_flags(df)
+
+
+def pack_request_flags(df: DataFrame) -> DataFrame:
+    """The stored SpiderRequest flag word: the reference computes the
+    url-derived predicate bits ONCE at request-build time and stores
+    them in the spiderdb record (m_hasMediaExtension, m_isWWWSubdomain,
+    m_isUrlPermalinkFormat ... Spider.h:592-698) so the spider loop
+    never re-parses url strings.  Same here: hop_count,
+    page_num_inlinks and the nine boolean predicates bit-pack into one
+    long at GENERATION time — scheduling reads 4 narrow columns
+    (uh48, first_ip, added_time_ms, flags), the url string is only
+    re-read to hydrate the scheduled winners.  The two counters are
+    clamped to their 8-bit fields (mirrors the kernel's cap-20 inlink
+    semantics) so overflow can't carry into the flag bits."""
+    from ..functions import filters as Fc
+
+    def bit(col, n):
+        return F.shiftleft(F.col(col).cast("long"), n)
+
+    return (
+        Fc.attach_url_predicates(df)
+        .withColumn("_hc", F.least(F.col("hop_count").cast("long"),
+                                   F.lit(255)))
+        .withColumn("_pi", F.least(F.col("page_num_inlinks").cast("long"),
+                                   F.lit(255)))
+        .withColumn(
+            "flags",
+            (F.col("_hc") +
+             F.shiftleft(F.col("_pi"), 8) +
+             bit("is_addurl", 16) + bit("is_injected", 17) +
+             bit("is_reindex", 18) + bit("parent_is_rss", 19) +
+             bit("parent_is_sitemap", 20) + bit("_p_ismedia", 21) +
+             bit("_p_iswww", 22) + bit("_p_isroot", 23) +
+             bit("_p_insitelist", 24)))
+        .drop("_hc", "_pi", "_p_ismedia", "_p_iswww", "_p_isroot",
+              "_p_insitelist"))
 
 
 def gen_replies_for(frontier: DataFrame, fraction_seen: float = 0.3,

@@ -91,7 +91,11 @@ def run_seed_ingest(spark: SparkSession, seed_dir: str, hostmeta_path: str,
     # one metadata-cheap count at stream setup feeds the broadcast size
     # gate; it is NOT per-trigger work
     n_hosts = hostmeta.count()
-    table = SnapshotTable(os.path.join(workdir, "requests"))
+    # the canonical frontier constructor: streaming appends are plain
+    # parquet deltas either way (bucketing re-established at compaction),
+    # but the spec must agree with the batch scheduler's
+    from ..sources.snapstore import frontier_table
+    table = frontier_table(workdir, "requests")
     stream = to_requests(seed_stream(spark, seed_dir), hostmeta,
                          n_hosts=n_hosts)
 
