@@ -47,6 +47,9 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=300)
     ap.add_argument("--round-ms", type=int, default=600_000)
     ap.add_argument("--bloom", action="store_true")
+    ap.add_argument("--seen-filter", choices=["", "bloom", "cuckoo"],
+                    default="", help="C5 routing pre-filter kind "
+                    "(cuckoo = deletable fingerprints)")
     ap.add_argument("--compact-every", type=int, default=0)
     ap.add_argument("--make-pyfiles", metavar="ZIP")
     args = ap.parse_args()
@@ -70,7 +73,8 @@ def main() -> None:
     # to local[*]
     spark = SparkSession.builder.getOrCreate()
     cfg = CrawlConfig(budget=args.budget, round_ms=args.round_ms,
-                      use_bloom=args.bloom)
+                      use_bloom=args.bloom,
+                      seen_filter=args.seen_filter)
     drv = CrawlDriver(spark, args.workdir, args.pages, args.hostmeta, cfg)
     if args.seeds:
         n = drv.seed(args.seeds)

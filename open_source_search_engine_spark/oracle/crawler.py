@@ -62,6 +62,12 @@ class CrawlConfig:
     rounds: int = 5
     t0_ms: int = 1_600_000_000_000
     use_bloom: bool = False  # C5 pre-filter routing (parity-neutral)
+    # C5 routing filter kind: "" = plain exact anti-join (or bloom when
+    # use_bloom, kept for back-compat), "bloom", or "cuckoo" (the
+    # deletable twin, operators/cuckoo.py).  Routing only — membership
+    # is always confirmed against the exact table, so parity holds for
+    # every kind (test_bloom_parity.py / test_cuckoo.py).
+    seen_filter: str = ""
     site_list: str = ""      # insitelist patterns (PageBasic.cpp:471)
     # D6 concurrency caps: simulated download duration.  0 (default) =
     # instantaneous fetches — concurrent-outstanding counts are always 0,

@@ -712,14 +712,29 @@ class CrawlDriver:
             .withColumn("_rn", F.row_number().over(w_new))
             .filter(F.col("_rn") == 1)
         )
-        if getattr(cfg, "use_bloom", False):
-            # C5 bloom pre-filter: definitely-new urls skip the (large)
-            # exact anti-join shuffle; maybe-seen go through it. Routing
-            # only — the final membership decision is always exact, so
-            # crawl-order parity is unaffected.
-            from ..operators.urlseen import bloom_maybe_seen, build_bloom
-            bloom = build_bloom(seen, bucket_bits=4)
-            routed = bloom_maybe_seen(deduped, bloom, bucket_bits=4)
+        seen_kind = getattr(cfg, "seen_filter", "") or \
+            ("bloom" if getattr(cfg, "use_bloom", False) else "")
+        if seen_kind:
+            # C5 pre-filter: definitely-new urls skip the (large) exact
+            # anti-join shuffle; maybe-seen go through it. Routing only —
+            # the final membership decision is always exact, so
+            # crawl-order parity is unaffected.  "bloom" = bitmap
+            # (urlseen.py); "cuckoo" = fingerprint table (cuckoo.py),
+            # which additionally supports negative-key deletion between
+            # rebuilds.
+            if seen_kind == "cuckoo":
+                from ..operators.cuckoo import (
+                    build_cuckoo, cuckoo_maybe_seen,
+                )
+                filt = build_cuckoo(seen, partition_bits=4)
+                routed = cuckoo_maybe_seen(deduped, filt,
+                                           partition_bits=4)
+            else:
+                from ..operators.urlseen import (
+                    bloom_maybe_seen, build_bloom,
+                )
+                bloom = build_bloom(seen, bucket_bits=4)
+                routed = bloom_maybe_seen(deduped, bloom, bucket_bits=4)
             definitely_new = routed.filter(~F.col("maybe_seen")) \
                 .drop("maybe_seen")
             maybe = (routed.filter(F.col("maybe_seen")).drop("maybe_seen")
