@@ -486,6 +486,13 @@ def _run_level_subprocess(cpus: int, rows: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["OSSE_BENCH_FRONTIER"] = str(rows)
+    # Both levels run the SAME fixed heap (8g default).  A
+    # cluster-proportional heap (2 GB/core, so the 4N level gets 4x —
+    # what a real executor scale-out provides) was tried and changed
+    # nothing: T16 124.2 s with 32g vs 119.4 s with 8g in an earlier
+    # window — the job's per-task working set fits either way, and heap
+    # size is not the limiter (see BENCH.md).  Fixed heap keeps the
+    # levels' JVMs identical.
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
            os.path.abspath(__file__), "--frontier-only"]
     out = subprocess.run(cmd, capture_output=True, text=True, env=env,
