@@ -82,6 +82,45 @@ def is_ping_server_col(url: Column) -> Column:
     return F.contains(url, F.lit("rpc.weblogs.com/"))
 
 
+def tld_col(host: Column) -> Column:
+    """JVM twin of kernel/urlnorm.get_tld (Domains.cpp:51-93): last
+    label if pure alpha; two-label if in the two-level table; longest
+    suffix wins.  A Column expression (not a pandas UDF) so the
+    candidate hot path keeps the bucketed scan's reported partitioning
+    — Python eval nodes drop outputPartitioning and force the winner
+    window to re-shuffle the frontier."""
+    from ..kernel.urlnorm import TWO_LEVEL_TLDS
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last = F.get(labels, n - 1)
+    two = F.concat_ws(".", F.get(labels, n - 2), last)
+    three = F.concat_ws(".", F.get(labels, n - 3), two)
+    alpha = r"^\p{L}+$"
+    t2 = sorted(TWO_LEVEL_TLDS)
+    return (
+        F.when(n == 1,
+               F.when(host.rlike(alpha), host).otherwise(F.lit("")))
+        .when((n >= 3) & F.lower(three).isin(*t2), three)
+        .when(F.lower(two).isin(*t2), two)
+        .when(last.rlike(alpha), last)
+        .otherwise(F.lit("")))
+
+
+def robots_allowed_col(disallow: Column, path_cgi: Column) -> Column:
+    """JVM twin of kernel/robots.match_path (isAllowed2 match step,
+    XmlDoc.cpp:14920-14975): allowed unless some effective Disallow
+    prefix matches — case-insensitive, a pattern not starting with '/'
+    matches against the path minus its leading '/'.  Null / empty
+    pattern list ⇒ allowed.  Expression form for the same plan-shape
+    reason as tld_col."""
+    def hits(v: Column) -> Column:
+        subject = F.when(v.startswith("/"), path_cgi) \
+            .otherwise(F.substring(path_cgi, 2, 2_147_483_646))
+        return F.lower(subject).startswith(F.lower(v))
+
+    return F.coalesce(~F.exists(disallow, hits), F.lit(True))
+
+
 def is_spam_host_col(host: Column, tld: Column) -> Column:
     """Url::isSpam (Url.cpp:1138-1184) + the full isAdult needle table
     (Lang.cpp:467-676, kernel/spamwords.py) compiled to Column

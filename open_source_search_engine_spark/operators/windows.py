@@ -31,19 +31,24 @@ def latest_per_key(df: DataFrame, key: str, order_col: str,
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
-def argmax_per_key(df: DataFrame, key: str, order_cols: list[str],
+def argmax_per_key(df: DataFrame, key: str | list[str],
+                   order_cols: list[str],
                    desc: bool = True) -> DataFrame:
     """latest/first row per key via groupBy + max_by/min_by instead of a
     row_number window: hash aggregation with MAP-SIDE PARTIAL COMBINE, no
     per-partition sort — the scale path for 'latest reply per uh48'.
     Ordering ties resolved by lexicographic struct comparison over
-    order_cols."""
-    others = [c for c in df.columns if c != key]
+    order_cols.  ``key`` may be a composite (e.g. the salted frontier's
+    (first_ip, _salt, uh48) — a superset of the storage bucket keys, so
+    the agg reuses the scan partitioning with no exchange)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    others = [c for c in df.columns if c not in keys]
     ordk = F.struct(*[F.col(c) for c in order_cols])
     pick = F.max_by if desc else F.min_by
-    agg = df.groupBy(key).agg(
+    agg = df.groupBy(*keys).agg(
         pick(F.struct(*[F.col(c) for c in others]), ordk).alias("_r"))
-    return agg.select(key, *[F.col(f"_r.{c}").alias(c) for c in others])
+    return agg.select(*keys,
+                      *[F.col(f"_r.{c}").alias(c) for c in others])
 
 
 def topk_per_key(df: DataFrame, key: str, order_by: list[Column],

@@ -18,44 +18,64 @@ C2 window then scans ~1 row per url instead of the whole append log).
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession, Window
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.snapstore import SnapshotTable
 
 
+def _gkeys(df):
+    """Salted-frontier group key: the same (first_ip,_salt,uh48) triple
+    the scheduler dedups on — a superset of the storage bucket keys, so
+    a compaction re-run over an already-bucketed snapshot re-aggregates
+    without an exchange (uh48→first_ip is functional, so triple-key
+    grouping IS per-uh48 dedup)."""
+    return ["first_ip", "_salt", "uh48"] if "first_ip" in df.columns \
+        else ["uh48"]
+
+
 def compact_replies(spark: SparkSession, table: SnapshotTable) -> int:
+    from ..sources.snapstore import with_salt
     df = table.read(spark)
     if df is None:
         return 0
-    w = Window.partitionBy("uh48").orderBy(F.desc("spidered_time_ms"))
-    latest = (df.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") == 1).drop("_rn"))
+    df = with_salt(df)
+    keys = _gkeys(df)
+    others = [c for c in df.columns if c not in keys]
+    latest = (df.groupBy(*keys).agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]),
+                 F.struct("spidered_time_ms", "err_code", "err_count",
+                          "http_status")).alias("_r"))
+        .select(*keys, *[F.col(f"_r.{c}").alias(c) for c in others]))
     n = latest.count()
     table.overwrite(latest, {"compaction": True, "rows": n})
     return n
 
 
 def compact_requests(spark: SparkSession, table: SnapshotTable) -> int:
+    from ..sources.snapstore import with_salt
     df = table.read(spark)
     if df is None:
         return 0
-    w_all = Window.partitionBy("uh48")
-    w = Window.partitionBy("uh48").orderBy("hop_count", "added_time_ms")
-    merged = (
-        df
-        # OR-merge the sticky flags across duplicate requests
-        # (Spider.cpp:13680-13720 request-inherits-bits semantics)
-        .withColumn("is_addurl", F.max("is_addurl").over(w_all))
-        .withColumn("parent_is_rss", F.max("parent_is_rss").over(w_all))
-        .withColumn("parent_is_sitemap",
-                    F.max("parent_is_sitemap").over(w_all))
-        .withColumn("discovery_time_ms",
-                    F.min("discovery_time_ms").over(w_all))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    df = with_salt(df)
+    keys = _gkeys(df)
+    # OR-merge the sticky flags across duplicate requests
+    # (Spider.cpp:13680-13720 request-inherits-bits semantics); winner
+    # row = lexicographic min (hop_count, added_time_ms) — one hash
+    # aggregation instead of three windows + row_number
+    merged_cols = ("is_addurl", "parent_is_rss", "parent_is_sitemap",
+                   "discovery_time_ms")
+    others = [c for c in df.columns
+              if c not in (*keys, *merged_cols)]
+    merged = (df.groupBy(*keys).agg(
+        F.min_by(F.struct(*[F.col(c) for c in others]),
+                 F.struct("hop_count", "added_time_ms")).alias("_r"),
+        F.max("is_addurl").alias("is_addurl"),
+        F.max("parent_is_rss").alias("parent_is_rss"),
+        F.max("parent_is_sitemap").alias("parent_is_sitemap"),
+        F.min("discovery_time_ms").alias("discovery_time_ms"))
+        .select(*keys, *merged_cols,
+                *[F.col(f"_r.{c}").alias(c) for c in others]))
     n = merged.count()
     table.overwrite(merged, {"compaction": True, "rows": n})
     return n
@@ -72,6 +92,9 @@ def compact_inlinks(spark: SparkSession, table: SnapshotTable) -> int:
     df = table.read(spark)
     if df is None:
         return 0
+    if "first_ip" in df.columns:
+        from ..sources.snapstore import with_salt
+        df = with_salt(df)
     merged = df.dropDuplicates(["uh48", "parent_cblock"])
     n = merged.count()
     table.overwrite(merged, {"compaction": True, "rows": n})

@@ -50,7 +50,7 @@ from ..operators import budget as budget_ops
 from ..operators import windows as windows_ops
 from ..functions import udfs
 from ..oracle.crawler import CrawlConfig
-from ..sources.snapstore import SnapshotTable
+from ..sources.snapstore import SnapshotTable, with_salt
 
 
 def path_cgi_col(url):
@@ -240,58 +240,78 @@ class CrawlDriver:
             )
             .dropDuplicates(["uh48"])
         )
+        reqs = with_salt(reqs)  # stored skew-salt (salted layout)
         n = reqs.count()
         self.t_requests.append(reqs, {"round": -1, "rows": n,
                                       "source": "seed"})
         return n
 
     # ------------------------------------------------------------------
-    def _migrate_requests(self, df: DataFrame) -> DataFrame:
+    def _migrate_requests(self, df: DataFrame,
+                          heal: bool = False) -> DataFrame:
         """Read-side schema evolution: request snapshots written by an
         older driver version may lack later REQUEST_SCHEMA columns (the
         round-2 flag bits, domain).  Fill them with their semantic
         defaults instead of feeding nulls into boolean rule predicates
-        or the domainpages quota key."""
-        for f in REQUEST_SCHEMA.fields:
-            if f.name in df.columns:
-                continue
+        or the domainpages quota key.  ``heal=True`` (multi-dir append
+        logs, where unionByName surfaces older dirs' missing columns as
+        nulls) additionally coalesces per-row nulls to the same
+        defaults; single-dir bucketed snapshots skip it so their scan
+        attributes — and the reported partitioning — stay untouched."""
+        def default_of(f):
             if f.name == "domain":
-                df = df.withColumn("domain",
-                                   udfs.domain_udf(F.col("host")))
-            elif f.name == "discovery_time_ms":
-                df = df.withColumn(f.name, F.col("added_time_ms"))
-            elif isinstance(f.dataType, T.BooleanType):
-                df = df.withColumn(f.name, F.lit(False))
-            else:
-                df = df.withColumn(f.name, F.lit(0).cast(f.dataType))
+                return udfs.domain_udf(F.col("host"))
+            if f.name == "discovery_time_ms":
+                return F.col("added_time_ms")
+            if isinstance(f.dataType, T.BooleanType):
+                return F.lit(False)
+            return F.lit(0).cast(f.dataType)
+
+        for f in REQUEST_SCHEMA.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, default_of(f))
+            elif heal:
+                df = df.withColumn(
+                    f.name, F.coalesce(F.col(f.name), default_of(f)))
         return df
 
-    def _migrate_replies(self, df: DataFrame) -> DataFrame:
-        """Fill REPLY_SCHEMA columns missing from older snapshots."""
-        for f in REPLY_SCHEMA.fields:
-            if f.name in df.columns:
-                continue
+    def _migrate_replies(self, df: DataFrame,
+                         heal: bool = False) -> DataFrame:
+        """Fill REPLY_SCHEMA columns missing from older snapshots (and,
+        with ``heal``, per-row nulls from mixed-version append logs)."""
+        def default_of(f):
             if isinstance(f.dataType, T.BooleanType):
-                df = df.withColumn(f.name, F.lit(False))
-            elif isinstance(f.dataType, T.StringType):
-                df = df.withColumn(f.name, F.lit(""))
-            else:
-                df = df.withColumn(f.name, F.lit(0).cast(f.dataType))
+                return F.lit(False)
+            if isinstance(f.dataType, T.StringType):
+                return F.lit("")
+            return F.lit(0).cast(f.dataType)
+
+        for f in REPLY_SCHEMA.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, default_of(f))
+            elif heal:
+                df = df.withColumn(
+                    f.name, F.coalesce(F.col(f.name), default_of(f)))
         return df
 
     def _read_state(self):
         requests = self.t_requests.read(self.spark)
         if requests is not None:
-            requests = self._migrate_requests(requests)
+            requests = self._migrate_requests(
+                requests, heal=len(self.t_requests._data_dirs()) > 1)
         replies = self.t_replies.read(self.spark)
         if replies is not None:
-            replies = self._migrate_replies(replies)
+            replies = self._migrate_replies(
+                replies, heal=len(self.t_replies._data_dirs()) > 1)
         ip_state = self.t_ip_state.read(self.spark)
         if replies is None:
             replies = self.spark.createDataFrame([], REPLY_SCHEMA)
         if ip_state is None:
             ip_state = self.spark.createDataFrame(
                 [], "first_ip long, last_download_ms long")
+        requests = self._ensure_salt(requests, self.t_requests) \
+            if requests is not None else None
+        replies = self._ensure_salt(replies, self.t_replies)
         # H8: negative keys annihilate OLDER records of the same uh48
         # (Rdb merge semantics — records added after the negative
         # survive, so a deleted-then-rediscovered url crawls fresh).
@@ -303,6 +323,27 @@ class CrawlDriver:
             requests = self._annihilate(requests, negs, "added_time_ms")
             replies = self._annihilate(replies, negs, "spidered_time_ms")
         return requests, replies, ip_state
+
+    @staticmethod
+    def _ensure_salt(df: DataFrame, table: "SnapshotTable") -> DataFrame:
+        """Guarantee a non-null stored ``_salt`` without disturbing a
+        bucketed scan: absent column → stamp (pre-salted-layout
+        snapshot); present + single data dir → trust it untouched (a
+        coalesce would re-alias the attribute and erase the scan's
+        reported (first_ip,_salt) partitioning); present + multi-dir
+        append log → heal possible nulls from older dirs (unionByName
+        fills missing columns with null)."""
+        from ..sources import snapstore as snap
+        if "_salt" not in df.columns:
+            return snap.with_salt(df)
+        if len(table._data_dirs()) > 1:
+            df = df.withColumn(
+                "_salt",
+                F.coalesce(
+                    F.col("_salt"),
+                    F.pmod(F.col("uh48"), F.lit(snap.SALT_WIDTH))
+                    .cast("int")))
+        return df
 
     def read_negatives(self) -> DataFrame | None:
         if not self.t_negatives.exists():
@@ -414,6 +455,15 @@ class CrawlDriver:
         Arrow-batched robots prefix-match)."""
         cfg = self.cfg
 
+        # Frontier group/join key: (first_ip, _salt, uh48).  uh48 →
+        # first_ip is functional (one canonical url resolves to one IP
+        # via the static hostmeta), so grouping by the triple IS
+        # per-uh48 dedup — and because the triple is a SUPERSET of the
+        # storage bucket keys (first_ip, _salt), every groupBy/join
+        # below reuses the compacted tables' scan partitioning with no
+        # exchange (the bench-proven salted layout, snapstore.py).
+        gkeys = ["first_ip", "_salt", "uh48"]
+
         # ---- 1. latest reply per uh48 (G1 sort-merge analog) ----------
         # groupBy + max_by: map-side partial combine, no window sort.
         # Tiebreaker beyond spidered_time_ms: (err_code, err_count,
@@ -421,10 +471,10 @@ class CrawlDriver:
         # resolve deterministically (the oracle compares the same tuple).
         latest_reply = (
             windows_ops.argmax_per_key(
-                replies, "uh48",
+                replies, gkeys,
                 ["spidered_time_ms", "err_code", "err_count",
                  "http_status"], desc=True)
-            .select("uh48",
+            .select(*gkeys,
                     F.col("spidered_time_ms").alias("last_spidered_ms"),
                     "err_code", "err_count", "http_status", "is_indexed",
                     F.col("lang").alias("reply_lang"),
@@ -442,14 +492,14 @@ class CrawlDriver:
         # min (hop_count, added_time_ms) winner + OR-merged is_addurl,
         # again as one hash aggregation
         req_others = [c for c in requests.columns
-                      if c not in ("uh48", "is_addurl")]
+                      if c not in (*gkeys, "is_addurl")]
         req = (
-            requests.groupBy("uh48").agg(
+            requests.groupBy(*gkeys).agg(
                 F.min_by(F.struct(*[F.col(c) for c in req_others]),
                          F.struct("hop_count", "added_time_ms"))
                 .alias("_r"),
                 F.max("is_addurl").alias("is_addurl"))
-            .select("uh48", "is_addurl",
+            .select(*gkeys, "is_addurl",
                     *[F.col(f"_r.{c}").alias(c) for c in req_others])
         )
 
@@ -459,7 +509,16 @@ class CrawlDriver:
         if inlinks is None:
             inlinks = self.spark.createDataFrame(
                 [], "uh48 long, parent_cblock long")
-        inlink_counts = (inlinks.groupBy("uh48")
+        # salted-layout inlinks (stamped with the TARGET's first_ip at
+        # discovery) group+join on the triple — exchange-free against
+        # the bucketed scan; pre-salted snapshots fall back to the
+        # uh48-keyed shuffle join
+        if {"first_ip", "_salt"} <= set(inlinks.columns):
+            inlinks = self._ensure_salt(inlinks, self.t_inlinks)
+            ikeys = gkeys
+        else:
+            ikeys = ["uh48"]
+        inlink_counts = (inlinks.groupBy(*ikeys)
                          .agg(F.least(F.countDistinct("parent_cblock"),
                                       F.lit(20)).cast("int")
                               .alias("_n_inlinks")))
@@ -475,13 +534,16 @@ class CrawlDriver:
                     (F.col("added_time_ms") <=
                      F.lit(now_ms + 86_400_000)))
             .drop("page_num_inlinks")
-            .join(inlink_counts, "uh48", "left")
+            .join(inlink_counts, ikeys, "left")
             .withColumn("page_num_inlinks",
                         F.coalesce("_n_inlinks", F.lit(0)))
             .drop("_n_inlinks")
-            .join(latest_reply, "uh48", "left")
+            .join(latest_reply, gkeys, "left")
             .withColumn("has_reply", F.col("last_spidered_ms").isNotNull())
-            .withColumn("tld", udfs.tld_udf(F.col("host")))
+            # JVM tld (kernel twin tld_col): a pandas-UDF here would
+            # drop the scan partitioning and re-shuffle the frontier at
+            # the winner window (plan-shape test)
+            .withColumn("tld", Fc.tld_col(F.col("host")))
             .withColumn("lang", F.coalesce("reply_lang", F.lit("")))
             # second-granularity rule inputs — integer floor division to
             # match the oracle's //1000 (build_context)
@@ -510,12 +572,14 @@ class CrawlDriver:
 
         # ---- 4. robots + crawl delay (PRE-PARSED rules, size-gated
         # broadcast) ----- host_rules holds effective Disallow prefixes
-        # parsed once per host at init; the per-url check is an
-        # Arrow-batched prefix match — no robots parsing in the
-        # per-candidate path.
+        # parsed once per host at init; the per-url check is a pure
+        # Column prefix match (functions/filters.robots_allowed_col —
+        # kernel/robots.match_path twin) — no Python at all in the
+        # per-candidate path, so the scan partitioning survives to the
+        # winner window.
         cand = (
             cand.join(self._bcast_hosts(self.host_rules), "host", "left")
-            .withColumn("_allowed", udfs.robots_match_udf(
+            .withColumn("_allowed", Fc.robots_allowed_col(
                 F.col("robots_disallow"), path_cgi_col(F.col("url"))))
             .filter(F.col("_allowed"))
             .withColumn("crawl_delay_ms",
@@ -524,8 +588,11 @@ class CrawlDriver:
         )
 
         # ---- 5. politeness / spider time (getSpiderTimeMS) ------------
+        # ip_state is one row per distinct IP (≤ |hosts|) — size-gated
+        # broadcast keeps the frontier side unshuffled; over the gate it
+        # degrades to a shuffle join like any big dimension
         cand = (
-            cand.join(ip_state, "first_ip", "left")
+            cand.join(self._bcast_hosts(ip_state), "first_ip", "left")
             .withColumn("last_dl",
                         F.coalesce("last_download_ms", F.lit(0)))
             .withColumn(
@@ -558,19 +625,26 @@ class CrawlDriver:
             F.desc(F.col("priority")), F.asc("hop_count"),
             F.asc("spider_time_ms"), F.asc("uh48"))
         salt_buckets = getattr(cfg, "winner_salt_buckets", 0)
-        if salt_buckets > 0:
+        if salt_buckets > 0 or "_salt" in cand.columns:
             # hot-IP skew: a zipfian frontier puts 10%+ of all candidates
             # on one IP, making the winner window a single straggler sort
             # task.  Two-phase exact top-K: pre-rank inside (ip, salt)
             # keeping winner_k (global winners survive any salt split),
-            # so no task sorts more than ~|hot ip|/buckets rows.  Salt =
-            # pmod(uh48) — deterministic across retries.
+            # so no task sorts more than ~|hot ip|/buckets rows.  The
+            # STORED _salt column (salted frontier layout) makes phase 1
+            # exchange-free over the bucketed scan — the window's
+            # (first_ip,_salt) clustering is the scan partitioning — and
+            # only the ≤K-per-(ip,salt) survivors pay the per-IP
+            # exchange of phase 2.  winner_salt_buckets (legacy knob)
+            # re-derives the salt when the column is absent.
+            if "_salt" not in cand.columns:
+                cand = cand.withColumn(
+                    "_salt", F.pmod(F.col("uh48"),
+                                    F.lit(salt_buckets)))
             w_salt = Window.partitionBy("first_ip", "_salt").orderBy(
                 F.desc(F.col("priority")), F.asc("hop_count"),
                 F.asc("spider_time_ms"), F.asc("uh48"))
             cand = (cand
-                    .withColumn("_salt", F.pmod(F.col("uh48"),
-                                                F.lit(salt_buckets)))
                     .withColumn("_r1", F.row_number().over(w_salt))
                     .filter(F.col("_r1") <= cfg.winner_k)
                     .drop("_r1", "_salt"))
@@ -869,9 +943,14 @@ class CrawlDriver:
         # one SpiderRequest per parent; we accumulate the count table)
         new_inlinks = (
             exploded
-            .join(self._bcast_hosts(self.hostmeta.select("host")), "host",
-                  "inner")
+            # keep the TARGET's resolved first_ip: inlinks share the
+            # salted frontier layout, so the per-round inlink count
+            # groups and joins exchange-free on (first_ip,_salt,uh48)
+            .join(self._bcast_hosts(
+                      self.hostmeta.select("host", "first_ip")),
+                  "host", "inner")
             .select("uh48",
+                    F.col("first_ip").cast("long").alias("first_ip"),
                     F.shiftright(F.col("parent_ip"), 8)
                     .alias("parent_cblock"))
             # within-round distinct: only NEW (uh48, C-block) edges are
@@ -993,14 +1072,15 @@ class CrawlDriver:
         n_ok, n_err = int(stats.ok), int(stats.err)
         n_new, n_inl = stats.n_new, stats.n_inl
 
-        self.t_replies.append(new_replies,
+        self.t_replies.append(with_salt(new_replies),
                               {"round": rnd, "rows": n_sched})
         if n_inl > 0:
-            self.t_inlinks.append(new_inlinks, {"round": rnd,
-                                                "rows": n_inl})
+            self.t_inlinks.append(with_salt(new_inlinks),
+                                  {"round": rnd, "rows": n_inl})
         if n_new > 0:
-            self.t_requests.append(new_requests.drop("parent_uh48"),
-                                   {"round": rnd, "rows": n_new})
+            self.t_requests.append(
+                with_salt(new_requests.drop("parent_uh48")),
+                {"round": rnd, "rows": n_new})
             if seen_kind == "cuckoo" and \
                     getattr(cfg, "seen_filter_persist", True) and \
                     self.t_seen_filter.exists():

@@ -106,8 +106,10 @@ def run_seed_ingest(spark: SparkSession, seed_dir: str, hostmeta_path: str,
                                      "uh48", "left_anti")
         if batch_df.isEmpty():
             return
-        table.append(batch_df, {"stream_batch": batch_id,
-                                "source": "seed_stream"})
+        from ..sources.snapstore import with_salt
+        table.append(with_salt(batch_df),
+                     {"stream_batch": batch_id,
+                      "source": "seed_stream"})
 
     writer = (stream.writeStream.foreachBatch(sink)
               .option("checkpointLocation", checkpoint_dir))

@@ -71,6 +71,11 @@ def test_unbucketed_tables_unchanged(spark, tmp_path):
 
 
 def test_frontier_table_spec(tmp_path):
+    # round-5 salted layout (VERDICT r4 Wrong #3): bucket by
+    # (first_ip, _salt), sort by uh48 within — spiderdb key order with
+    # the zipf hot-IP split
     for nm in ("requests", "replies", "inlinks"):
         t = frontier_table(str(tmp_path), nm)
-        assert t.bucket_by is not None and t.bucket_by[0] == ["uh48"]
+        assert t.bucket_by is not None and \
+            t.bucket_by[0] == ["first_ip", "_salt"]
+        assert t.sort_by == ["first_ip", "_salt", "uh48"]

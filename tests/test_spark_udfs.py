@@ -78,3 +78,57 @@ def test_robots_udf_matches_kernel(spark):
         assert r.v.allowed == want.allowed
         assert r.v.crawl_delay_ms == robots.final_crawl_delay_ms(
             want.crawl_delay_ms)
+
+
+def test_tld_col_matches_kernel(spark):
+    """functions/filters.tld_col (JVM hot-path twin) must agree with
+    kernel/urlnorm.get_tld byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.functions import filters as Fc
+    from open_source_search_engine_spark.kernel.urlnorm import get_tld
+
+    hosts = ["example.com", "www.example.co.uk", "gov.uk", "localhost",
+             "a.b.c.lkd.co.im", "x.y.gov.uk", "host9", "9host",
+             "sub.domain.org.au", "weird..com", "trailing.com.",
+             "ünï.example.de", "a.com", "b.info", "c.xn--p1ai",
+             "multi.part.edu.sg", "num.123", "único"]
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    got = {r.host: r.tld for r in
+           df.withColumn("tld", Fc.tld_col(F.col("host"))).collect()}
+    for h in hosts:
+        assert got[h] == get_tld(h), (h, got[h], get_tld(h))
+
+
+def test_robots_allowed_col_matches_kernel(spark):
+    """functions/filters.robots_allowed_col must agree with
+    kernel/robots.match_path on every (patterns, path) pair."""
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.functions import filters as Fc
+    from open_source_search_engine_spark.kernel.robots import match_path
+
+    cases = [
+        (["/private/"], "/private/x.html"),
+        (["/private/"], "/public/x.html"),
+        (["/a", "/b/"], "/b/c"),
+        (["cgi-bin"], "/cgi-bin/run"),      # no leading slash form
+        (["CGI-bin"], "/cgi-BIN/run"),      # case-insensitive
+        ([], "/anything"),
+        (["/exact"], "/exact"),
+        (["/longer-than-path"], "/lo"),
+        (["/q?x="], "/q?x=1"),
+        (["/"], "/"),
+    ]
+    rows = [(pats, path) for pats, path in cases]
+    df = spark.createDataFrame(rows, "disallow array<string>, pc string")
+    got = [r.ok for r in df.select(
+        Fc.robots_allowed_col(F.col("disallow"), F.col("pc"))
+        .alias("ok")).collect()]
+    want = [match_path(p, pc) for p, pc in cases]
+    assert got == want, list(zip(cases, got, want))
+    # null pattern list (host with no robots row) => allowed
+    dfn = spark.createDataFrame([(None, "/x")],
+                                "disallow array<string>, pc string")
+    assert dfn.select(Fc.robots_allowed_col(
+        F.col("disallow"), F.col("pc")).alias("ok")).collect()[0].ok
