@@ -686,25 +686,29 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_search_summary(spark, sf_dir):
-    """E11 full form (round 4): best-sentence summary
-    (Summary::getBestWindow restated at sentence granularity,
-    Summary.cpp:656) + query-term highlighting (Highlight.cpp:359) over
-    the AND-matched docs — plans/serving.py, value-checked in DuckDB."""
+    """E11 full form (round 5): best TOKEN-WINDOW summary
+    (Summary::getBestWindow at true word-window granularity,
+    Summary.cpp:656 — a best region mid-sentence is found, which the
+    round-4 sentence form missed) + query-term highlighting
+    (Highlight.cpp:359) over the AND-matched docs — plans/serving.py
+    best_windows, value-checked in DuckDB."""
     from open_source_search_engine_spark.plans.search import (
         and_query, build_postings,
     )
     from open_source_search_engine_spark.plans.serving import (
-        best_sentences, highlight_col,
+        best_windows, highlight_col,
     )
     docs = _docs(spark, sf_dir)
     p = build_postings(docs, split_pattern=" ")
     matched = and_query(p, _QTERMS).select("doc_id")
-    summ = best_sentences(docs.join(matched, "doc_id", "left_semi"),
-                          _QTERMS)
+    summ = best_windows(docs.join(matched, "doc_id", "left_semi"),
+                        _QTERMS)
     return (summ
             .withColumn("snippet",
                         highlight_col(F.col("summary"), _QTERMS))
             .select("doc_id", "summary",
+                    F.col("summary_start").cast("int")
+                    .alias("summary_start"),
                     F.col("summary_score").cast("int")
                     .alias("summary_score"), "snippet"))
 
@@ -1422,27 +1426,32 @@ def oracle_sql() -> dict[str, str]:
               WHERE term IN ('data', 'query')
               GROUP BY doc_id HAVING count(DISTINCT term) = 2),
             s AS (
-              SELECT d.doc_id,
-                     unnest(string_split(d.text, '. ')) AS sent,
-                     generate_subscripts(string_split(d.text, '. '), 1)
-                       AS idx
+              SELECT d.doc_id, string_split(d.text, ' ') AS toks
               FROM documents d JOIN matched m ON d.doc_id = m.doc_id),
+            w AS (
+              SELECT doc_id,
+                     i,
+                     array_to_string(toks[i:i+11], ' ') AS win
+              FROM s, LATERAL (
+                SELECT unnest(generate_series(
+                    1, greatest(1, len(toks) - 11))) AS i) g),
             scored AS (
-              SELECT doc_id, sent, idx,
-                     (CASE WHEN strpos(lower(sent), 'data') > 0
+              SELECT doc_id, win, i,
+                     (CASE WHEN strpos(lower(win), 'data') > 0
                            THEN 1 ELSE 0 END +
-                      CASE WHEN strpos(lower(sent), 'query') > 0
+                      CASE WHEN strpos(lower(win), 'query') > 0
                            THEN 1 ELSE 0 END) AS score
-              FROM s),
+              FROM w),
             best AS (
-              SELECT doc_id, sent, score,
+              SELECT doc_id, win, i, score,
                      row_number() OVER (PARTITION BY doc_id
-                                        ORDER BY score DESC, idx ASC)
+                                        ORDER BY score DESC, i ASC)
                        AS rn
               FROM scored)
-            SELECT doc_id, sent AS summary,
+            SELECT doc_id, win AS summary,
+                   CAST(i - 1 AS INT) AS summary_start,
                    CAST(score AS INT) AS summary_score,
-                   regexp_replace(sent, '(?i)\\b(data|query)\\b',
+                   regexp_replace(win, '(?i)\\b(data|query)\\b',
                                   '<b>\\1</b>', 'g') AS snippet
             FROM best WHERE rn = 1
         """,

@@ -79,17 +79,20 @@ def frontier_sched_plan(spark, requests, replies, cfg=None, pins=None):
     budget = 500_000
     winner_k = 2000
 
-    # PLAN NOTE (round 4, found via REST stage metrics at 64M rows):
-    # max_by/min_by with a STRUCT value or ordering compiles to
-    # SortAggregate (struct agg buffers aren't HashAggregate-mutable) —
-    # the dedup stage was one giant sort, 1.55k CPU-s of the 1.83k-CPU-s
-    # execution.  Per-column max_by/min_by over PRIMITIVE values with a
-    # single long ordering key keeps the whole aggregation in
-    # HashAggregate + whole-stage codegen (no sort).  Row-atomicity
-    # caveat: with per-column picks, tied ordering keys could mix rows;
-    # here ties are exact-duplicate payloads (reply fields are functions
-    # of uh48; request ordkeys are hash-distinct) and the cross-level
-    # output-checksum assert would catch any drift.
+    # PLAN NOTE — aggregation-form history (see OSSE_BENCH_AGG below):
+    # round 3 chose per-column max_by/min_by over PRIMITIVE values
+    # (HashAggregate + whole-stage codegen, no sort) after REST stage
+    # metrics at 64M rows showed the STRUCT form's SortAggregate
+    # dominating the round (1.55k of 1.83k CPU-s).  Round 4 flipped the
+    # DEFAULT back to the struct form: on the key-SORTED bucketed scan
+    # no Sort is inserted, so SortAggregate becomes a pure streaming
+    # merge in storage order (the Rdb merge shape) and beats the
+    # DRAM-random hash tables that made round 3's choice look good on
+    # the unsorted layout.  Both forms produce identical rows (the
+    # primitive form's row-atomicity caveat — tied ordering keys could
+    # mix rows — is vacuous here: ties are exact-duplicate payloads)
+    # and the cross-level output-checksum assert would catch any drift;
+    # the bench A/Bs them via OSSE_BENCH_AGG.
     # GROUPING KEY (first_ip, uh48) — spiderdb's own key order
     # (Spider.h:432-470: firstip-major, urlhash48-minor; the same url
     # seen under a different IP is a DIFFERENT spiderdb record, so
@@ -477,6 +480,92 @@ def run_frontier_bench(spark, n_rows: int) -> dict:
             "checksum": chk}
 
 
+def run_product_round(spark, n_rows: int) -> dict:
+    """Measure ONE **CrawlDriver.run_round** — the PRODUCT round, not
+    just the scheduling plan: state read off the salted bucketed
+    snapshot, dedup/latest-reply/rules/robots/politeness/winners,
+    band-pruned budget + distributed seq stamping, the fetch join (all
+    misses against an empty pages table — scheduling throughput, not
+    fetch simulation), and the full state commit (replies, schedule,
+    ip_state, metrics snapshots).  Setup (untimed): a mature compacted
+    frontier of n_rows requests (~30% with replies) in a fresh workdir.
+    Returns rows/sec over the timed round plus an order-independent
+    schedule checksum so two parallelism levels can prove they produced
+    the identical schedule (VERDICT r4 Next #4)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.oracle.crawler import CrawlConfig
+    from open_source_search_engine_spark.plans.scheduler import CrawlDriver
+    from open_source_search_engine_spark.sources.frontier_gen import (
+        gen_frontier, gen_replies_for,
+    )
+    from open_source_search_engine_spark.sources.snapstore import with_salt
+
+    base = os.environ.get(
+        "OSSE_PRODUCT_DATADIR",
+        os.path.join(tempfile.gettempdir(), "osse_bench_product"))
+    corpus = os.path.join(base, f"corpus_{n_rows}")
+    pages_p = os.path.join(corpus, "pages.parquet")
+    hm_p = os.path.join(corpus, "hostmeta.parquet")
+    req_p = os.path.join(corpus, "requests.parquet")
+    rep_p = os.path.join(corpus, "replies.parquet")
+    if not os.path.exists(os.path.join(corpus, "_done")):
+        os.makedirs(corpus, exist_ok=True)
+        raw = gen_frontier(spark, n_rows)
+        # complete REQUEST_SCHEMA JVM-side: the on-read migration would
+        # otherwise fill `domain` with a pandas UDF — Python in the hot
+        # path loses the scan partitioning (test_plan_shape).  The
+        # synthetic hosts are "[www.]h<ip>-<k>.com", so domain = host
+        # minus the www. label.
+        req = (raw.drop("flags")
+               .withColumn("domain",
+                           F.regexp_replace("host", r"^www\.", ""))
+               .withColumn("is_rss", F.lit(False))
+               .withColumn("is_new_outlink", F.lit(False))
+               .withColumn("was_parent_indexed", F.lit(True))
+               .withColumn("is_docid_based", F.lit(False))
+               .withColumn("has_authority_inlink", F.lit(False))
+               .withColumn("in_google", F.lit(False))
+               .withColumn("parent_is_pingserver", F.lit(False)))
+        req.write.mode("overwrite").parquet(req_p)
+        req = spark.read.parquet(req_p)
+        gen_replies_for(req).write.mode("overwrite").parquet(rep_p)
+        (req.select("host", "first_ip").distinct()
+         .withColumn("robots_txt", F.lit(""))
+         .withColumn("robots_status", F.lit(200))
+         .write.mode("overwrite").parquet(hm_p))
+        spark.createDataFrame(
+            [], "url string, html binary, lang string"
+        ).write.mode("overwrite").parquet(pages_p)
+        open(os.path.join(corpus, "_done"), "w").write("ok")
+
+    wd = os.path.join(base, f"wd_{n_rows}_{CPUS}")
+    shutil.rmtree(wd, ignore_errors=True)
+    cfg = CrawlConfig(rounds=1, budget=500_000)
+    drv = CrawlDriver(spark, wd, pages_p, hm_p, cfg)
+    # seed a MATURE crawl state directly (compacted bucketed snapshots),
+    # skipping seed-round bootstrap — this is round N of thousands
+    drv.t_requests.overwrite(
+        with_salt(spark.read.parquet(req_p)), {"source": "bench"})
+    drv.t_replies.overwrite(
+        with_salt(spark.read.parquet(rep_p)), {"source": "bench"})
+    spark.catalog.clearCache()
+
+    t = time.time()
+    m = drv.run_round(0)
+    dt = time.time() - t
+    chk = (drv.schedule_df()
+           .agg(F.bit_xor(F.xxhash64("uh48", "fetch_time_ms", "seq"))
+                .alias("chk")).collect()[0].chk)
+    shutil.rmtree(wd, ignore_errors=True)
+    return {"rows_in": n_rows, "scheduled": int(m["scheduled"]),
+            "sec": round(dt, 3),
+            "urls_per_sec": round(n_rows / dt, 1), "checksum": chk}
+
+
 def _run_level_subprocess(cpus: int, rows: int) -> dict:
     """Run the frontier bench pinned to `cpus` PHYSICAL cores via taskset
     in a fresh process — local[N] alone only limits task slots, the JVM's
@@ -502,12 +591,52 @@ def _run_level_subprocess(cpus: int, rows: int) -> dict:
     return json.loads(line)
 
 
+def _run_product_subprocess(cpus: int, rows: int) -> dict:
+    """run_product_round pinned to `cpus` physical cores, fresh JVM —
+    same protocol as _run_level_subprocess but for the PRODUCT round."""
+    import subprocess
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["OSSE_PRODUCT_ROWS"] = str(rows)
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+           os.path.abspath(__file__), "--product-only"]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         timeout=3600)
+    line = [ln for ln in out.stdout.strip().splitlines()
+            if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def _two_level_pair(levels: list[int], run_fn) -> dict:
+    """Interleaved best-of-2 per level + identical-output assert +
+    efficiency — the shared two-level protocol for any job."""
+    rates: dict[int, dict] = {}
+    for _ in range(2):
+        for c in levels:
+            r = run_fn(c)
+            if c not in rates or \
+                    r["urls_per_sec"] > rates[c]["urls_per_sec"]:
+                rates[c] = r
+    n, n4 = levels
+    # both levels must have produced the IDENTICAL schedule — a level
+    # that got faster by computing something different is a broken
+    # measurement, not a scaling win
+    assert rates[n].get("checksum") == rates[n4].get("checksum"), \
+        f"output mismatch across levels: {rates}"
+    eff = (rates[n4]["urls_per_sec"] / rates[n]["urls_per_sec"]) \
+        / (n4 / n)
+    return {f"cores[{n}]": rates[n], f"cores[{n4}]": rates[n4],
+            "efficiency": round(eff, 3)}
+
+
 def main():
     scaling = "--scaling" in sys.argv
     # --scaling-only: skip the 32-core headline/frontier pass and run just
     # the pinned two-level protocol (for SCALING_RESULT.json refreshes)
     scaling_only = "--scaling-only" in sys.argv
     frontier_only = "--frontier-only" in sys.argv
+    product_only = "--product-only" in sys.argv
+    product_scaling = "--product-scaling" in sys.argv
     result = {}
 
     if frontier_only:
@@ -515,6 +644,27 @@ def main():
         r = run_frontier_bench(spark, FRONTIER_ROWS)
         spark.stop()
         print(json.dumps(r))
+        return
+
+    if product_only:
+        spark = make_spark(CPUS)
+        r = run_product_round(
+            spark, int(os.environ.get("OSSE_PRODUCT_ROWS", "8000000")))
+        spark.stop()
+        print(json.dumps(r))
+        return
+
+    if product_scaling:
+        # VERDICT r4 Next #4: the two-level protocol over the PRODUCT
+        # run_round (not just the bench's scheduling plan)
+        rows = int(os.environ.get("OSSE_PRODUCT_ROWS", "8000000"))
+        levels = [int(x) for x in os.environ.get(
+            "OSSE_PRODUCT_LEVELS", "4,16").split(",")]
+        pair = _two_level_pair(
+            levels, lambda c: _run_product_subprocess(c, rows))
+        result["product_scaling"] = {**pair, "scaling_rows": rows,
+                                     "runs_per_level": 2}
+        print(json.dumps(result))
         return
 
     if scaling_only:
@@ -550,32 +700,30 @@ def main():
         # analogy is the pair where NEITHER level saturates the socket:
         # 1→4 cores.  Wider pairs (2→8, 8→32) are reported in BENCH.md
         # as the saturation study.  Override with OSSE_SCALING_LEVELS.
-        levels = [int(x) for x in os.environ.get(
-            "OSSE_SCALING_LEVELS", "1,4").split(",")]
-        # interleaved best-of-2 per level: the sandbox host has drifting
-        # background load; best-of interleaved runs cancels the drift
-        rates: dict[int, dict] = {}
-        for _ in range(2):
-            for c in levels:
-                r = _run_level_subprocess(c, rows)
-                if c not in rates or r["urls_per_sec"] > \
-                        rates[c]["urls_per_sec"]:
-                    rates[c] = r
-        n, n4 = levels
-        eff = (rates[n4]["urls_per_sec"] / rates[n]["urls_per_sec"]) \
-            / (n4 / n)
-        # both levels must have produced the IDENTICAL schedule — a
-        # level that got faster by computing something different is a
-        # broken measurement, not a scaling win
-        assert rates[n].get("checksum") == rates[n4].get("checksum"), \
-            f"output mismatch across levels: {rates}"
+        # BOTH regimes land in the artifact by default (ADVICE r4 #3):
+        # the unsaturated pair (1→4 — neither level hits the socket's
+        # DRAM-bandwidth ceiling; the honest single-box analogy of a
+        # real N→4N executor scale-out, which adds a memory system per
+        # node) AND the saturation pair (8→32 — both levels inside the
+        # bandwidth wall), so the artifact itself, not just BENCH.md
+        # prose, records the regime dependence.  First pair is primary.
+        pair_specs = [p for p in os.environ.get(
+            "OSSE_SCALING_LEVELS", "1,4;8,32").split(";") if p]
+        pairs_out = {}
+        for spec in pair_specs:
+            levels = [int(x) for x in spec.split(",")]
+            # interleaved best-of-2 per level: the sandbox host has
+            # drifting background load; best-of interleaved runs
+            # cancels the drift
+            pairs_out[f"{levels[0]}->{levels[1]}"] = _two_level_pair(
+                levels, lambda c: _run_level_subprocess(c, rows))
+        primary = pairs_out[next(iter(pairs_out))]
         result["scaling"] = {
-            f"cores[{n}]": rates[n],
-            f"cores[{n4}]": rates[n4],
+            **primary,
             "scaling_rows": rows,
             "runs_per_level": 2,
             "inner": int(os.environ.get("OSSE_BENCH_INNER", "3")),
-            "efficiency": round(eff, 3),
+            "pairs": pairs_out,
         }
 
     print(json.dumps(result))

@@ -148,6 +148,37 @@ def best_sentence(text: str, terms: list[str]) -> tuple[int, str, int]:
     return best
 
 
+WINDOW_TOKENS = 12
+
+
+def best_window(text: str, terms: list[str],
+                w: int = WINDOW_TOKENS) -> tuple[int, str, int]:
+    """TOKEN-window restatement of Summary::getBestWindow
+    (Summary.cpp:656) — the round-5 upgrade of :func:`best_sentence`:
+    slide a ``w``-token window over the whitespace token array, score
+    each window by the NUMBER OF DISTINCT query terms it contains (the
+    reference's match-diversity component), highest score wins,
+    earliest window on ties; score 0 falls back to the leading window.
+    Unlike the sentence form, a best region spanning a sentence
+    boundary — or buried mid-sentence in a long sentence — is found.
+    Returns (start_index, window_text, score); start_index is 0-based.
+
+    Shared spec for the Spark serving tier (plans/serving.py
+    best_windows: split(' ') + sequence + slice + concat_ws) and the
+    DuckDB oracle (string_split + generate_series + list slicing) —
+    substring containment on the lowercased window, literal ' ' split,
+    no regex."""
+    toks = text.split(" ")
+    best = (0, " ".join(toks[:w]), 0)
+    for i in range(max(1, len(toks) - w + 1)):
+        win = " ".join(toks[i:i + w])
+        low = win.lower()
+        score = sum(1 for t in terms if t.lower() in low)
+        if score > best[2]:
+            best = (i, win, score)
+    return best
+
+
 def highlight(text: str, terms: list[str]) -> str:
     """Highlight::set analog (Highlight.cpp:359): wrap every
     word-boundary occurrence of a query term in <b></b>, case preserved,
