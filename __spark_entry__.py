@@ -315,6 +315,25 @@ def q_cosine_topk(spark, sf_dir):
 _QTERMS = ["data", "query"]
 
 
+def _phon_sql(col: str) -> str:
+    """DuckDB twin of kernel/phonet.phonetic_key (simplified soundex —
+    Speller.cpp:263 phonet channel), generated so the translate table
+    and the six run-collapse replaces stay byte-identical to the kernel
+    spec."""
+    from open_source_search_engine_spark.kernel.phonet import (
+        SOUNDEX_CODES,
+    )
+    tail = (f"substr(regexp_replace(translate(lower({col}), "
+            f"'abcdefghijklmnopqrstuvwxyz', '{SOUNDEX_CODES}'), "
+            f"'[^0-6]', '', 'g'), 2)")
+    for d in "123456":
+        tail = f"regexp_replace({tail}, '{d}{{2,}}', '{d}', 'g')"
+    tail = f"replace({tail}, '0', '')"
+    return (f"CASE WHEN regexp_matches(substr(lower({col}), 1, 1), "
+            f"'^[a-z]$') THEN substr(upper(substr(lower({col}), 1, 1)) "
+            f"|| {tail} || '000', 1, 4) ELSE '' END")
+
+
 def q_postings(spark, sf_dir):
     """Posdb build: (term, doc_id, tf, first_pos) over a doc slice."""
     from open_source_search_engine_spark.plans.search import build_postings
@@ -715,10 +734,12 @@ def q_search_summary(spark, sf_dir):
 
 def q_search_spell(spark, sf_dir):
     """Spell recommendation (Speller::getRecommendation,
-    Speller.cpp:263 → Language::getRecommendation, Language.cpp:1385:
-    edit-distance candidates ranked by popularity).  Vocabulary = corpus
-    terms with df as popularity; levenshtein<=2 candidates, top-5 per
-    misspelled query term — plans/search.spell_suggest."""
+    Speller.cpp:263 → Language::getRecommendation, Language.cpp:1385):
+    edit-distance candidates PLUS the round-5 phonetic/soundslike
+    channel (kernel/phonet.py simplified soundex — same-pronunciation
+    candidates surface past the edit band), ranked phonetic-match
+    first, then popularity (Language.cpp:94-100 weighting).  Vocabulary
+    = corpus terms with df as popularity — plans/search.spell_suggest."""
     from open_source_search_engine_spark.plans.search import (
         build_postings, spell_suggest,
     )
@@ -727,6 +748,7 @@ def q_search_spell(spark, sf_dir):
     return (spell_suggest(p, ["cat", "quary"])
             .select("qterm", "term", "df",
                     F.col("dist").cast("int").alias("dist"),
+                    F.col("phon"),
                     F.col("rank").cast("int").alias("rnk")))
 
 
@@ -1361,10 +1383,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN matched m ON d.doc_id = m.doc_id
             WHERE d.doc_id < 49
         """,
-        "search_spell": """
+        "search_spell": f"""
             -- Speller::getRecommendation / Language::getRecommendation
-            -- restated: corpus vocabulary with df as popularity,
-            -- levenshtein<=2 candidates, top-5 per misspelled term
+            -- restated: corpus vocabulary with df as popularity;
+            -- candidates = levenshtein<=2 OR equal phonetic key (the
+            -- round-5 soundslike channel, kernel/phonet.py), ranked
+            -- phonetic-match first then df; top-5 per misspelled term
             WITH toks AS (
               SELECT doc_id,
                      unnest(string_split(lower(text), ' ')) AS term
@@ -1373,21 +1397,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT term, count(DISTINCT doc_id) AS df
               FROM toks WHERE length(term) > 0 GROUP BY term),
             q(qterm) AS (VALUES ('cat'), ('quary')),
-            cand AS (
+            keyed AS (
               SELECT q.qterm, v.term, v.df,
-                     CAST(levenshtein(v.term, q.qterm) AS INT) AS dist
-              FROM vocab v CROSS JOIN q
-              WHERE abs(length(v.term) - length(q.qterm)) <= 2
-                AND levenshtein(v.term, q.qterm) <= 2
-                AND v.term <> q.qterm),
+                     ({_phon_sql('v.term')} = {_phon_sql('q.qterm')}
+                      AND {_phon_sql('q.qterm')} <> '') AS phon
+              FROM vocab v CROSS JOIN q),
+            cand AS (
+              SELECT qterm, term, df, phon,
+                     CAST(levenshtein(term, qterm) AS INT) AS dist
+              FROM keyed
+              WHERE (phon OR abs(length(term) - length(qterm)) <= 2)
+                AND term <> qterm),
+            filtered AS (
+              SELECT * FROM cand WHERE phon OR dist <= 2),
             ranked AS (
-              SELECT qterm, term, CAST(df AS BIGINT) AS df, dist,
+              SELECT qterm, term, CAST(df AS BIGINT) AS df, dist, phon,
                      CAST(row_number() OVER (
                          PARTITION BY qterm
-                         ORDER BY df DESC, dist ASC, term ASC) AS INT)
+                         ORDER BY phon DESC, df DESC, dist ASC,
+                                  term ASC) AS INT)
                          AS rnk
-              FROM cand)
-            SELECT qterm, term, df, dist, rnk
+              FROM filtered)
+            SELECT qterm, term, df, dist, phon, rnk
             FROM ranked WHERE rnk <= 5
         """,
         "search_sitelink": """

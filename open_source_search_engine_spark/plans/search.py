@@ -52,41 +52,80 @@ def term_stats(postings: DataFrame) -> DataFrame:
         F.countDistinct("doc_id").alias("df"))
 
 
+def phonetic_key_col(word) -> "F.Column":
+    """Column twin of kernel/phonet.phonetic_key (the simplified-soundex
+    restatement of Speller.cpp:263's phonet channel) — translate +
+    per-digit run collapse + zero drop, byte-identical to the kernel and
+    to the DuckDB oracle's SQL form."""
+    from ..kernel.phonet import SOUNDEX_CODES, _ALPHABET
+    w = F.lower(word)
+    first = F.substring(w, 1, 1)
+    digits = F.regexp_replace(
+        F.translate(w, _ALPHABET, SOUNDEX_CODES), "[^0-6]", "")
+    tail = F.substring(digits, 2, 2_147_483_646)
+    for d in "123456":
+        tail = F.regexp_replace(tail, d + "{2,}", d)
+    tail = F.regexp_replace(tail, "0", "")
+    return F.when(
+        first.rlike("^[a-z]$"),
+        F.substring(F.concat(F.upper(first), tail, F.lit("000")), 1, 4)
+    ).otherwise(F.lit(""))
+
+
 def spell_suggest(postings: DataFrame, terms: list[str],
-                  max_dist: int = 2, k: int = 5) -> DataFrame:
+                  max_dist: int = 2, k: int = 5,
+                  phonetic: bool = True) -> DataFrame:
     """Spell recommendation: Speller::getRecommendation fragments the
     query (Speller.cpp:263,387) and Language::getRecommendation picks
     the "highest popularity recommendation" among edit-distance
     candidates from the dictionary (Language.cpp:1385-1386, weights at
     Language.cpp:94-100).  Restated over the corpus itself: the
-    vocabulary with df as the popularity score, candidates within
-    ``levenshtein <= max_dist`` of each query term, top-k per term by
-    (df desc, dist asc, term asc — fully deterministic).
+    vocabulary with df as the popularity score; candidates are vocab
+    terms within ``levenshtein <= max_dist`` of a query term OR (round
+    5) sharing its phonetic key (kernel/phonet.py — the soundslike
+    channel, so a same-pronunciation candidate like colour→callar
+    surfaces even past the edit-distance band); top-k per term by
+    (phonetic-match desc, df desc, dist asc, term asc — the reference's
+    pronunciation-above-popularity weighting, fully deterministic).
 
     Scale shape: the query terms are a tiny exploded literal crossed
-    against the DISTINCT-term table (|vocab| << |postings|), length-band
-    pruned BEFORE the levenshtein so the quadratic-in-length edit
-    distance only runs on plausible candidates — a map-side filter with
-    no join shuffle; the only exchange is the per-term top-k over the
-    few surviving candidates.  Deviation (documented in COVERAGE.md):
-    no phonetic/soundslike channel — the reference's phonet generation
-    needs its shipped dictionary data files.
-    """
+    against the DISTINCT-term table (|vocab| << |postings|); the
+    length band and the equal-phonetic-key test are both cheap map-side
+    prunes BEFORE the quadratic-in-length levenshtein, and no join
+    shuffle exists — the only exchange is the per-term top-k over the
+    few surviving candidates."""
     from ..operators.windows import topk_per_key
     vocab = term_stats(postings)
     cand = (vocab
             .select("term", "df",
                     F.explode(F.array(*[F.lit(t.lower()) for t in terms]))
-                    .alias("qterm"))
-            .filter(F.abs(F.length("term") - F.length("qterm"))
-                    <= max_dist)
-            .withColumn("dist", F.levenshtein("term", "qterm"))
-            .filter((F.col("dist") <= max_dist)
-                    & (F.col("term") != F.col("qterm"))))
-    return (topk_per_key(cand, "qterm",
-                         [F.desc("df"), F.asc("dist"), F.asc("term")], k)
-            .select("qterm", "term", "df", "dist",
-                    F.col("rank").cast("int").alias("rank")))
+                    .alias("qterm")))
+    if phonetic:
+        cand = (cand
+                .withColumn("phon",
+                            (phonetic_key_col(F.col("term")) ==
+                             phonetic_key_col(F.col("qterm"))) &
+                            (phonetic_key_col(F.col("qterm")) != ""))
+                .filter(F.col("phon") |
+                        (F.abs(F.length("term") - F.length("qterm"))
+                         <= max_dist))
+                .withColumn("dist", F.levenshtein("term", "qterm"))
+                .filter((F.col("phon") | (F.col("dist") <= max_dist))
+                        & (F.col("term") != F.col("qterm"))))
+        order = [F.desc("phon"), F.desc("df"), F.asc("dist"),
+                 F.asc("term")]
+        cols = ["qterm", "term", "df", "dist", "phon"]
+    else:
+        cand = (cand
+                .filter(F.abs(F.length("term") - F.length("qterm"))
+                        <= max_dist)
+                .withColumn("dist", F.levenshtein("term", "qterm"))
+                .filter((F.col("dist") <= max_dist)
+                        & (F.col("term") != F.col("qterm"))))
+        order = [F.desc("df"), F.asc("dist"), F.asc("term")]
+        cols = ["qterm", "term", "df", "dist"]
+    return (topk_per_key(cand, "qterm", order, k)
+            .select(*cols, F.col("rank").cast("int").alias("rank")))
 
 
 def and_query(postings: DataFrame, terms: list[str]) -> DataFrame:

@@ -186,3 +186,61 @@ def test_spell_suggest(spark):
     assert got == [("spak", "spark", 3, 1, 1),
                    ("spak", "scan", 3, 2, 2),
                    ("spak", "span", 2, 1, 3)]
+
+
+def test_phonetic_key_kernel_column_parity(spark):
+    """kernel/phonet.phonetic_key == plans/search.phonetic_key_col on a
+    word set covering vowels-only tails, run collapse, non-letter
+    leads, and short words."""
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.kernel.phonet import phonetic_key
+    from open_source_search_engine_spark.plans.search import (
+        phonetic_key_col,
+    )
+    words = ["robert", "rupert", "ashcraft", "colour", "callar", "query",
+             "quary", "quart", "a", "aeiou", "b", "bbbb", "night",
+             "nite", "1word", "", "x9z", "mississippi", "pfister"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {r.w: r.k for r in
+           df.select("w", phonetic_key_col(F.col("w")).alias("k"))
+           .collect()}
+    for w in words:
+        assert got[w] == phonetic_key(w), (w, got[w], phonetic_key(w))
+    # the classic sanity pair
+    assert phonetic_key("robert") == phonetic_key("rupert") == "R163"
+
+
+def test_spell_phonetic_channel_beats_popularity(spark):
+    """VERDICT r4 Next #6: (1) a same-pronunciation candidate OUTRANKS a
+    more popular edit-distance candidate (Language.cpp:94-100 weights
+    pronunciation above popularity); (2) a phonetic-only candidate past
+    the levenshtein band still surfaces."""
+    from open_source_search_engine_spark.plans.search import (
+        build_postings, spell_suggest,
+    )
+    rows = []
+    did = 0
+    for text, n in (("query one", 1), ("quart two", 5),
+                    ("callar three", 3)):
+        for _ in range(n):
+            rows.append((did, text))
+            did += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    p = build_postings(docs, split_pattern=" ")
+    out = spell_suggest(p, ["quary", "colour"]).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qterm, []).append(r)
+    # quary: 'query' (phon, df=1) must beat 'quart' (no phon, df=5)
+    quary = sorted(by_q["quary"], key=lambda r: r.rank)
+    assert quary[0].term == "query" and quary[0].phon
+    assert any(r.term == "quart" and not r.phon for r in quary)
+    # colour: 'callar' is levenshtein 3 — edit channel alone would miss
+    # it; the phonetic key (C460) surfaces it
+    colour = {r.term: r for r in by_q["colour"]}
+    assert "callar" in colour
+    assert colour["callar"].phon and colour["callar"].dist == 3
+    # and with the channel off it is absent (the r4 behavior)
+    off = spell_suggest(p, ["colour"], phonetic=False).collect()
+    assert all(r.term != "callar" for r in off)
