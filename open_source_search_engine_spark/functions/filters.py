@@ -259,13 +259,13 @@ _BOOL_COLS = {
     "isparentindexed": "was_parent_indexed",
     "hasauthorityinlink": "has_authority_inlink",
     "isrss": "is_rss",
-    # m_inGoogle flag bit (Spider.cpp:12182-12205); no in-crawl source
-    # sets it in this rebuild, so it is False unless an ingest supplies
-    # the column — the valid-bit skip is modeled as always-valid
-    "ingoogle": "in_google",
     # m_parentIsPingServer (Spider.cpp:12207-12211), set at harvest
     "isparentpingserver": "parent_is_pingserver",
 }
+# NOTE: "ingoogle" is NOT in FLAG_COLS — it carries the reference's
+# valid-bit RULE-SKIP semantics (Spider.cpp:12182-12205: the bit comes
+# from the site TagRec; no tag ⇒ m_inGoogleValid off ⇒ the rule row is
+# skipped), handled explicitly in _term_col like hascontactinfo.
 
 
 def _term_col(term) -> Column:
@@ -325,6 +325,15 @@ def _term_col(term) -> Column:
         # tag_matches_col; standalone compile without the attach step
         # fails loudly at analysis (no site list to look in)
         col = F.col(f"_p_tag_{term.value}")
+    elif kw == "ingoogle":
+        # Spider.cpp:12182-12205: tagdb-backed bit with the valid-bit
+        # skip — a NULL in_google (site has no tag) skips the RULE
+        # regardless of '!', exactly like hascontactinfo without a
+        # reply (kernel/urlfilter.py evaluate_term's None sentinel)
+        bit = F.coalesce(F.col("in_google").cast("boolean"),
+                         F.lit(False))
+        return F.col("in_google").isNotNull() & \
+            ((~bit) if term.negate else bit)
     elif kw in ("hascontactinfo", "hasaddress"):
         # Spider.cpp:11770,11787: REPLY-backed bits with the valid-bit
         # skip — no reply ⇒ the RULE is skipped regardless of '!', so

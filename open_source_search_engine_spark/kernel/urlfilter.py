@@ -174,9 +174,12 @@ _BOOL_KEYS = {
     "ispingserver": "is_ping_server",
     "insitelist": "in_site_list",
     "hasauthorityinlink": "has_authority_inlink",
-    "ingoogle": "in_google",  # Spider.cpp:12182-12205 (always-valid model)
     "isparentpingserver": "parent_is_pingserver",  # Spider.cpp:12207
 }
+# "ingoogle" is handled explicitly in evaluate_term: the bit comes from
+# the site's TagRec (Spider.cpp:12182-12205) and carries a valid bit —
+# a site with NO tag (in_google=None) SKIPS the rule, like
+# hascontactinfo without a reply.
 
 
 def evaluate_term(term: Term, ctx: dict) -> bool:
@@ -215,6 +218,13 @@ def evaluate_term(term: Term, ctx: dict) -> bool:
             "==": lhs == rhs, "!=": lhs != rhs, ">=": lhs >= rhs,
             "<=": lhs <= rhs, ">": lhs > rhs, "<": lhs < rhs,
         }[op]
+    elif kw == "ingoogle":
+        # Spider.cpp:12182-12205: tagdb-backed bit; no site tag ⇒ valid
+        # bit off ⇒ skip the RULE even for the negated form
+        v = ctx.get("in_google")
+        if v is None:
+            return None
+        result = bool(v)
     elif kw in ("hascontactinfo", "hasaddress"):
         # Spider.cpp:11770,11787: reply-backed bits with the valid-bit
         # skip — without a reply the whole RULE is skipped, even for the

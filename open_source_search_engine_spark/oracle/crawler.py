@@ -134,7 +134,9 @@ class Request:
     was_parent_indexed: bool = False
     is_docid_based: bool = False
     has_authority_inlink: bool = False
-    in_google: bool = False         # m_inGoogle (always-valid model)
+    # m_inGoogle from the site's TagRec (Spider.cpp:12182-12205):
+    # None = site has no tag = valid bit off = ingoogle rules skipped
+    in_google: bool | None = False
     parent_is_pingserver: bool = False  # m_parentIsPingServer
 
 
@@ -217,6 +219,15 @@ class OracleCrawler:
             return False  # url-seen dedup (C1/C5)
         self.state.url_seen[h] = rnd
         dom = urlnorm.get_domain(host)
+        # m_inGoogle from the ingested hostmeta (tagdb analog): absent
+        # column → pre-round-5 always-valid-False model; a null/NA cell
+        # → no tag → None (valid bit off, ingoogle rules skipped)
+        ig = getattr(hm, "in_google", False)
+        try:
+            import pandas as pd
+            ig = None if ig is None or pd.isna(ig) else bool(ig)
+        except TypeError:
+            ig = bool(ig)
         self.state.requests.append(Request(
             url=url, uh48=h, first_ip=int(hm.first_ip), host=host,
             domain=dom, hop_count=hop, added_time_ms=added_ms,
@@ -226,6 +237,7 @@ class OracleCrawler:
             is_rss=is_rss, is_new_outlink=from_harvest,
             was_parent_indexed=from_harvest,
             parent_is_pingserver=parent_is_pingserver,
+            in_google=ig,
         ))
         return True
 

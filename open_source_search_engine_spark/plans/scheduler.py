@@ -199,6 +199,24 @@ class CrawlDriver:
                              10_000_000))
 
     # ------------------------------------------------------------------
+    def _ingoogle_cols(self) -> list[str]:
+        """m_inGoogle's in-crawl source (Spider.cpp:12182-12205: the bit
+        comes from the site's TagRec): when the ingested hostmeta —
+        this rebuild's tagdb analog — carries an ``in_google`` column,
+        every request threads it through; NULL = site has no tag =
+        valid bit off, and ingoogle rules are SKIPPED for the row
+        exactly like hascontactinfo without a reply."""
+        return ["in_google"] if "in_google" in self.hostmeta.columns \
+            else []
+
+    def _ingoogle_col(self):
+        if "in_google" in self.hostmeta.columns:
+            return F.col("in_google").cast("boolean").alias("in_google")
+        # no tagdb source ingested: the pre-round-5 always-valid-False
+        # model (COVERAGE.md deviation, now closed when the column is
+        # supplied)
+        return F.lit(False).alias("in_google")
+
     def seed(self, seeds_path: str) -> int:
         """Inject seeds (A1: SpiderRequest::setFromAddUrl analog)."""
         if self.t_requests.exists():
@@ -211,7 +229,8 @@ class CrawlDriver:
             .withColumn("uh48", udfs.uh48_udf(F.col("url")))
             .withColumn("host", udfs.host_udf(F.col("url")))
             .join(self._bcast_hosts(
-                      self.hostmeta.select("host", "first_ip")),
+                      self.hostmeta.select("host", "first_ip",
+                                           *self._ingoogle_cols())),
                   "host", "inner")  # unknown host = DNS failure → dropped
             .select(
                 "url", "uh48",
@@ -235,7 +254,7 @@ class CrawlDriver:
                 F.lit(False).alias("was_parent_indexed"),
                 F.lit(False).alias("is_docid_based"),
                 F.lit(False).alias("has_authority_inlink"),
-                F.lit(False).alias("in_google"),
+                self._ingoogle_col(),
                 F.lit(False).alias("parent_is_pingserver"),
             )
             .dropDuplicates(["uh48"])
@@ -270,7 +289,9 @@ class CrawlDriver:
         for f in REQUEST_SCHEMA.fields:
             if f.name not in df.columns:
                 df = df.withColumn(f.name, default_of(f))
-            elif heal:
+            elif heal and f.name != "in_google":
+                # in_google NULL is MEANINGFUL (tag absent → valid bit
+                # off → ingoogle rules skipped) — never heal it to False
                 df = df.withColumn(
                     f.name, F.coalesce(F.col(f.name), default_of(f)))
         return df
@@ -1005,7 +1026,8 @@ class CrawlDriver:
         new_requests = (
             deduped
             .join(self._bcast_hosts(
-                      self.hostmeta.select("host", "first_ip")),
+                      self.hostmeta.select("host", "first_ip",
+                                           *self._ingoogle_cols())),
                   "host", "inner")  # unknown host = DNS failure
             .withColumn("parent_domain", udfs.domain_udf(
                 F.col("parent_host")))
@@ -1032,7 +1054,7 @@ class CrawlDriver:
                 F.lit(True).alias("was_parent_indexed"),
                 F.lit(False).alias("is_docid_based"),
                 F.lit(False).alias("has_authority_inlink"),
-                F.lit(False).alias("in_google"),
+                self._ingoogle_col(),
                 # m_parentIsPingServer (Spider.cpp:12207-12211)
                 Fc.is_ping_server_col(F.col("parent_url"))
                 .alias("parent_is_pingserver"),

@@ -73,8 +73,16 @@ def make_hostmeta(n_hosts: int, seed: int = 42) -> pd.DataFrame:
             "robots_status": 404 if tmpl is None else 200,
             # tagdb siteNumInlinks analog (F4) — deterministic per host
             "site_num_inlinks": (i * 7 + 3) % 50,
+            # tagdb ingoogle site tag (Spider.cpp:12182-12205, set from
+            # the TagRec): some sites tagged in (True), some tagged out
+            # (False), some with NO tag at all (None → the valid bit is
+            # off and ingoogle rules are SKIPPED for them)
+            "in_google": (True if i % 5 == 0
+                          else None if i % 5 == 1 else False),
         })
-    return pd.DataFrame(rows)
+    df = pd.DataFrame(rows)
+    df["in_google"] = df["in_google"].astype("boolean")
+    return df
 
 
 _PAGE_TEMPLATE = """<html><head><title>{title}</title>

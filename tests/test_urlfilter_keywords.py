@@ -44,9 +44,13 @@ KEYWORD_RULES = (
     # kernel/contact.py) — reply-backed, rule skipped without a reply
     Rule("hascontactinfo && hopcount>=1", 74, 1, 9, 7, 500),
     Rule("!hasaddress && isindexed && spiderwaited>=600", 73, 1, 9, 7, 500),
+    # round-5: ingoogle has a real in-crawl source (synthweb hostmeta's
+    # in_google site tag; Spider.cpp:12182-12205).  Tagged-IN hosts win
+    # this high-priority rule; NO-tag hosts (in_google null) SKIP both
+    # ingoogle rules (valid-bit semantics) and fall through
+    Rule("ingoogle && isnew", 76, 0.005, 9, 7, 500),
     # round-3 keyword tail (early so they can win rows): newinlinks needs
-    # a reply whose fetch harvested new urls; !ingoogle is always true in
-    # the always-valid model, gated by spiderwaited to stay selective
+    # a reply whose fetch harvested new urls
     Rule("newinlinks>=5", 59, 0.005, 9, 7, 500),
     Rule("!ingoogle && hopcount==0 && hasreply && spiderwaited>=1200",
          57, 0.005, 9, 7, 500),
@@ -253,3 +257,34 @@ def test_contact_predicates_kernel_column_parity(spark):
     for i, t in enumerate(texts):
         want = (contact.has_contact_info(t), contact.has_address(t))
         assert got[i] == want, f"row {i} ({t!r}): spark={got[i]} want={want}"
+
+
+def test_ingoogle_rule_wins_and_tagless_hosts_skip(oracle_state,
+                                                   spark_driver):
+    """VERDICT r4 Next #7: ingoogle has an in-crawl source.  (1) the
+    'ingoogle && isnew' rule (priority 76) WINS schedule rows — only for
+    urls on tagged-in hosts (synthweb tags i%5==0); (2) urls on NO-tag
+    hosts (i%5==1, in_google null) never take priority 76: the valid
+    bit is off, the rule is skipped; (3) spark and oracle agree row for
+    row (covered by the parity test, re-asserted here on the 76 rows)."""
+    import re
+
+    def host_idx(url):
+        return int(re.search(r"host(\d+)", url).group(1))
+
+    won = [s for s in oracle_state.schedule if s["priority"] == 76]
+    assert won, "the ingoogle rule never fired"
+    for s in won:
+        assert host_idx(s["url"]) % 5 == 0, s["url"]
+    # no-tag hosts appear in the schedule (via other rules) but never
+    # at the ingoogle rule's priority
+    no_tag = [s for s in oracle_state.schedule
+              if host_idx(s["url"]) % 5 == 1]
+    assert no_tag, "corpus has no scheduled urls on tagless hosts"
+    assert all(s["priority"] != 76 for s in no_tag)
+    # spark produced the identical 76-priority row set
+    got = [(r.round, r.seq, r.url) for r in
+           spark_driver.schedule_df().filter("priority = 76")
+           .orderBy("round", "seq").collect()]
+    want = [(s["round"], s["seq"], s["url"]) for s in won]
+    assert got == want
