@@ -47,9 +47,11 @@ def to_requests(stream: DataFrame, hostmeta: DataFrame,
     streaming trigger that unconditionally broadcast 10^7-10^9 hosts
     would OOM the driver every micro-batch (VERDICT r3 item 3).  With
     n_hosts unknown, no hint: Spark decides by measured size."""
-    dim = joins.broadcast_if_small(hostmeta.select("host", "first_ip"),
-                                   n_hosts, max_bytes=broadcast_max_bytes)
-    return (
+    ig = ["in_google"] if "in_google" in hostmeta.columns else []
+    dim = joins.broadcast_if_small(
+        hostmeta.select("host", "first_ip", *ig),
+        n_hosts, max_bytes=broadcast_max_bytes)
+    out = (
         stream
         .withColumn("url", udfs.canonicalize_udf(F.col("url")))
         .filter(F.length("url") > 0)
@@ -76,9 +78,14 @@ def to_requests(stream: DataFrame, hostmeta: DataFrame,
             F.lit(False).alias("was_parent_indexed"),
             F.lit(False).alias("is_docid_based"),
             F.lit(False).alias("has_authority_inlink"),
+            # m_inGoogle rides from the hostmeta tag when ingested
+            # (nullable: no tag = valid bit off), like the batch seeder
+            *([F.col("in_google").cast("boolean").alias("in_google")]
+              if ig else []),
         )
         .dropDuplicates(["uh48"])  # per-batch dup cache (C1)
     )
+    return out
 
 
 def run_seed_ingest(spark: SparkSession, seed_dir: str, hostmeta_path: str,
@@ -99,17 +106,81 @@ def run_seed_ingest(spark: SparkSession, seed_dir: str, hostmeta_path: str,
     stream = to_requests(seed_stream(spark, seed_dir), hostmeta,
                          n_hosts=n_hosts)
 
+    # C5 seen-route for the stream (VERDICT r4 Next #8): the r4 sink
+    # anti-joined EVERY micro-batch against the full requests table — a
+    # frontier scan per trigger.  Now a cuckoo filter is built ONCE at
+    # stream start (one frontier scan), cached, probed per batch
+    # (broadcast blobs + mapInPandas over the tiny batch — no shuffle),
+    # and grown IN PLACE with each batch's accepted keys.  The exact
+    # table is consulted only for maybe-seen rows (a re-fed url or a
+    # ~2^-13 fingerprint collision), so a busy fresh-seed feed never
+    # rescans the frontier.  Routing-only: membership decisions stay
+    # exact.  Lineage records `frontier_scanned` per commit so tests —
+    # and operators — can see the scans that did happen.
+    bits = 6
+    _state: dict = {"filt": None}
+
+    def _filter_cols(df: DataFrame) -> DataFrame:
+        return df.select("bucket", "n_buckets", "table")
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        c = df.cache()
+        c.count()
+        return c
+
+    def _init_filter(sess: SparkSession) -> DataFrame:
+        from ..operators.cuckoo import build_cuckoo
+        existing = table.read(sess)
+        seen = existing.select("uh48").distinct() if existing is not None \
+            else sess.createDataFrame([], "uh48 long")
+        return _materialize(build_cuckoo(seen, partition_bits=bits))
+
     def sink(batch_df: DataFrame, batch_id: int):
-        existing = table.read(batch_df.sparkSession)
-        if existing is not None:
-            batch_df = batch_df.join(existing.select("uh48").distinct(),
-                                     "uh48", "left_anti")
+        from ..operators.cuckoo import cuckoo_insert, cuckoo_maybe_seen
+        from ..sources.snapstore import with_salt
         if batch_df.isEmpty():
             return
-        from ..sources.snapstore import with_salt
-        table.append(with_salt(batch_df),
-                     {"stream_batch": batch_id,
-                      "source": "seed_stream"})
+        sess = batch_df.sparkSession
+        if _state["filt"] is None:
+            _state["filt"] = _init_filter(sess)
+        routed = cuckoo_maybe_seen(batch_df, _state["filt"],
+                                   partition_bits=bits,
+                                   mode="broadcast").persist()
+        accepted = routed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = routed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        scanned = False
+        if not maybe.isEmpty():
+            scanned = True
+            existing = table.read(sess)
+            if existing is not None:
+                maybe = maybe.join(existing.select("uh48").distinct(),
+                                   "uh48", "left_anti")
+            accepted = accepted.unionByName(maybe)
+        accepted = accepted.persist()
+        n = accepted.count()
+        if n:
+            table.append(with_salt(accepted),
+                         {"stream_batch": batch_id,
+                          "source": "seed_stream",
+                          "frontier_scanned": scanned})
+            grown = cuckoo_insert(_state["filt"],
+                                  accepted.select("uh48"),
+                                  partition_bits=bits).persist()
+            row = grown.agg(
+                F.coalesce(F.sum("n_requested"), F.lit(0)).alias("rq"),
+                F.coalesce(F.sum("n_applied"), F.lit(0)).alias("ap")
+            ).collect()[0]
+            old = _state["filt"]
+            if int(row.rq) == int(row.ap):
+                _state["filt"] = _materialize(_filter_cols(grown))
+            else:
+                # over capacity: one rebuild from the (post-append)
+                # exact table — the amortized-doubling path
+                _state["filt"] = _init_filter(sess)
+            grown.unpersist()
+            old.unpersist()
+        accepted.unpersist()
+        routed.unpersist()
 
     writer = (stream.writeStream.foreachBatch(sink)
               .option("checkpointLocation", checkpoint_dir))

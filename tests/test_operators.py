@@ -200,6 +200,81 @@ def test_streaming_seed_ingest(spark, tmp_path):
     assert len(urls) >= 2
 
 
+def test_streaming_seen_route_skips_frontier_scan(spark, tmp_path,
+                                                  monkeypatch):
+    """VERDICT r4 Next #8: the ingest sink must NOT anti-join the full
+    requests table per micro-batch.  A fresh-seed feed reads the
+    frontier exactly ONCE (the stream-start filter build) no matter how
+    many triggers fire; only a batch with already-seen urls (filter
+    maybe-hit) consults the exact table, and the commit lineage records
+    it."""
+    import json
+
+    import open_source_search_engine_spark.sources.snapstore as snap
+    from open_source_search_engine_spark.sources import synthweb
+    from open_source_search_engine_spark.streaming.ingest import (
+        run_seed_ingest,
+    )
+
+    d = str(tmp_path / "c")
+    paths = synthweb.write_corpus(d, n_hosts=5, mean_pages=3, n_seeds=2)
+    wd = str(tmp_path / "state")
+
+    reads = []
+    orig_read = snap.SnapshotTable.read
+
+    def counting_read(self, sess, *a, **k):
+        if self.path.rstrip("/").endswith("requests"):
+            reads.append(self.path)
+        return orig_read(self, sess, *a, **k)
+
+    monkeypatch.setattr(snap.SnapshotTable, "read", counting_read)
+
+    # 20 one-url files → multiple triggers (maxFilesPerTrigger=16),
+    # every url fresh
+    s1 = tmp_path / "s1"
+    s1.mkdir()
+    for i in range(20):
+        with open(s1 / f"f{i:02d}.json", "w") as f:
+            f.write(json.dumps(
+                {"url": f"http://host00{i % 5}.com/fresh/{i}.html",
+                 "added_time_ms": 1_600_000_000_000}) + "\n")
+    run_seed_ingest(spark, str(s1), paths["hostmeta"], wd,
+                    str(tmp_path / "ck1"), once=True)
+    assert len(reads) == 1, \
+        f"fresh feed must scan the frontier once (init), got {reads}"
+
+    # second stream: a batch with DUPLICATE urls → filter maybe-hits →
+    # exactly one confirm scan beyond the new stream's init build
+    reads.clear()
+    s2 = tmp_path / "s2"
+    s2.mkdir()
+    with open(s2 / "dups.json", "w") as f:
+        # host001.com is a known (non-www) host, so the dup url reaches
+        # the probe instead of dropping at the DNS join
+        f.write(json.dumps(
+            {"url": "http://host001.com/fresh/1.html",
+             "added_time_ms": 1_600_000_000_000}) + "\n")
+        f.write(json.dumps(
+            {"url": "http://host001.com/brandnew.html",
+             "added_time_ms": 1_600_000_000_000}) + "\n")
+    run_seed_ingest(spark, str(s2), paths["hostmeta"], wd,
+                    str(tmp_path / "ck2"), once=True)
+    assert len(reads) == 2, reads  # init + one maybe-hit confirm
+
+    monkeypatch.setattr(snap.SnapshotTable, "read", orig_read)
+    t = snap.SnapshotTable(f"{wd}/requests")
+    got = t.read(spark)
+    urls = [r.url for r in got.collect()]
+    assert len(urls) == len(set(urls))  # dup NOT re-appended
+    assert urls.count("http://host001.com/fresh/1.html") == 1
+    assert "http://host001.com/brandnew.html" in urls
+    m = t.manifest()["snapshots"]
+    flags = [s["lineage"].get("frontier_scanned") for s in m.values()
+             if s["lineage"].get("source") == "seed_stream"]
+    assert flags and flags[-1] is True and not any(flags[:-1])
+
+
 def test_salted_topk_matches_plain(spark):
     from open_source_search_engine_spark.operators.windows import (
         salted_topk_per_key, topk_per_key,
