@@ -673,6 +673,10 @@ def main():
         spark = make_spark(CPUS)
         queries = run_headline(spark)
         fb = run_frontier_bench(spark, FRONTIER_ROWS)
+        # the PRODUCT round (full run_round incl. state commit) rides in
+        # the default artifact beside the plan number (round 5)
+        pr = run_product_round(
+            spark, int(os.environ.get("OSSE_PRODUCT_ROWS", "8000000")))
         spark.stop()
         result.update({
             "metric": "frontier_sched_urls_per_sec",
@@ -683,6 +687,7 @@ def main():
             "frontier_rows": fb["rows_in"],
             "frontier_scheduled": fb["scheduled"],
             "frontier_sec": fb["sec"],
+            "product_round": pr,
             "cpus": CPUS,
         })
 
