@@ -56,12 +56,18 @@ def test_no_single_partition_exchange_in_scheduled(driver):
 
 
 def test_robots_parse_not_in_round_path(driver):
-    """Per-round candidate plan runs only the prefix-MATCH UDF; the parse
-    UDF (robots_rules_udf) ran once at init into the robots_rules
-    snapshot table, sized |hosts|."""
+    """The robots PARSE UDF (robots_rules_udf) ran once at init into the
+    robots_rules snapshot table, sized |hosts|; since round 5 the
+    per-round candidate plan contains NO Python at all — the per-url
+    prefix match is the pure-Column robots_allowed_col (a Python eval
+    node would drop the bucketed scan's partitioning and force the
+    winner window to re-shuffle the frontier)."""
     cand_plan, _ = _round_plans(driver)
     assert "robots_rules_udf" not in cand_plan
-    assert "robots_match_udf" in cand_plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in cand_plan, \
+            f"Python operator in candidate plan: {marker}"
     # the robots cache table exists and holds one row per host
     n_hosts = driver.hostmeta.count()
     n_rules = driver.host_rules.count()
