@@ -83,6 +83,19 @@ def frontier_table(workdir: str, name: str) -> "SnapshotTable":
     return SnapshotTable(os.path.join(workdir, name))
 
 
+def url_seen_table(workdir: str) -> "SnapshotTable":
+    """The C5 exact seen set as its own incremental snapshot table
+    (VERDICT r5 Wrong #2): (uh48, last_added_ms), bucketed+sorted by
+    uh48 so the per-round maybe-seen anti-join reuses the scan
+    partitioning — only the (small) candidate side exchanges, never the
+    10^10-key seen side.  Base dirs are written bucketed at
+    seed/compaction; per-round new-key deltas append as plain parquet
+    and fold into the base at the next compaction."""
+    return SnapshotTable(os.path.join(workdir, "url_seen"),
+                         bucket_by=(["uh48"], FRONTIER_BUCKETS),
+                         sort_by=["uh48"])
+
+
 class SnapshotTable:
     """``bucket_by=(cols, n)`` declares the table's storage clustering
     (Iceberg's ``bucket(n, col)`` partition transform; spiderdb's
@@ -236,6 +249,31 @@ class SnapshotTable:
             out = out.unionByName(spark.read.parquet(d),
                                   allowMissingColumns=True)
         return out
+
+    def read_parts(self, spark: SparkSession
+                   ) -> tuple[DataFrame | None, DataFrame | None]:
+        """(base, delta): the FIRST data dir read through its bucketed
+        catalog registration when written so (scan reports the bucket
+        partitioning), remaining append dirs unioned flat.  Lets a
+        consumer keep the base's exchange-free plan and treat only the
+        small append tail as unclustered — instead of the plain read()'s
+        flat union, which loses the bucketing for every dir."""
+        dirs = self._data_dirs()
+        if not dirs:
+            return None, None
+        spec_p = os.path.join(dirs[0], "_bucketed.json")
+        if os.path.exists(spec_p):
+            with open(spec_p) as f:
+                spec = json.load(f)
+            base = self._read_bucketed(spark, dirs[0], spec)
+        else:
+            base = spark.read.parquet(dirs[0])
+        delta = None
+        for d in dirs[1:]:
+            nd = spark.read.parquet(d)
+            delta = nd if delta is None else \
+                delta.unionByName(nd, allowMissingColumns=True)
+        return base, delta
 
     def _read_bucketed(self, spark: SparkSession, d: str,
                        spec: dict) -> DataFrame:

