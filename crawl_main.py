@@ -48,9 +48,13 @@ def main() -> None:
     ap.add_argument("--round-ms", type=int, default=600_000)
     ap.add_argument("--bloom", action="store_true")
     ap.add_argument("--seen-filter", choices=["", "bloom", "cuckoo"],
-                    default="", help="C5 routing pre-filter kind "
-                    "(cuckoo = deletable fingerprints)")
-    ap.add_argument("--compact-every", type=int, default=0)
+                    default="cuckoo", help="C5 routing pre-filter kind "
+                    "(cuckoo = deletable fingerprints, the proven "
+                    "persistent default; '' = plain exact anti-join)")
+    ap.add_argument("--compact-every", type=int, default=5,
+                    help="compact the frontier every N rounds (0 = "
+                    "never) — compaction is what keeps the candidate "
+                    "plan exchange-free over the bucketed snapshot")
     ap.add_argument("--make-pyfiles", metavar="ZIP")
     args = ap.parse_args()
 

@@ -430,6 +430,22 @@ _SHARED_PRED_COLS = {
 }
 
 
+def regex_pred_cols(rules: tuple[Rule, ...] | None) -> dict:
+    """Distinct url-regex terms (matchesucp/upr/ucr) → precomputed
+    predicate column names, so the regexes run ONCE per stored row at
+    the scan (beside the other url-derived bits) instead of per
+    candidate per rule term.  attach_url_predicates writes these
+    columns; rule_idx_expr reads them — both derive the same map from
+    the rule table, so the contract needs no shared state."""
+    if rules is None:
+        return {}
+    terms = sorted({(t.keyword, t.value or "") for r in rules
+                    for t in parse_expression(r.expression)
+                    if t.keyword in ("matchesucp", "matchesupr",
+                                     "matchesucr")})
+    return {t: f"_p_re_{i}" for i, t in enumerate(terms)}
+
+
 def used_keywords(rules: tuple[Rule, ...]) -> set[str]:
     """All keywords referenced by a rule table — the reference's
     m_countingPagesIndexed-style pre-scan (Spider.cpp:3596) so expensive
@@ -442,26 +458,32 @@ def used_keywords(rules: tuple[Rule, ...]) -> set[str]:
     return kws
 
 
-def _term_col_fast(term) -> Column:
+def _term_col_fast(term, re_cols: dict | None = None) -> Column:
     """Like _term_col but reads the precomputed shared-predicate columns."""
     kw = term.keyword
     if kw in _SHARED_PRED_COLS:
         col = F.col(_SHARED_PRED_COLS[kw])
         return (~col) if term.negate else col
+    if re_cols:
+        name = re_cols.get((kw, term.value or ""))
+        if name is not None:
+            col = F.col(name)
+            return (~col) if term.negate else col
     return _term_col(term)
 
 
 def rule_idx_expr(rules: tuple[Rule, ...]) -> Column:
     """First-match-wins rule index over the factored predicate columns."""
+    re_cols = regex_pred_cols(rules)
     expr = None
     for idx, r in enumerate(rules):
         terms = parse_expression(r.expression)
         if not terms:
             cond = F.lit(True)
         else:
-            cond = _term_col_fast(terms[0])
+            cond = _term_col_fast(terms[0], re_cols)
             for t in terms[1:]:
-                cond = cond & _term_col_fast(t)
+                cond = cond & _term_col_fast(t, re_cols)
         expr = F.when(cond, F.lit(idx)) if expr is None \
             else expr.when(cond, F.lit(idx))
     return expr.otherwise(F.lit(len(rules) - 1))
@@ -553,6 +575,11 @@ def attach_url_predicates(df, rules: tuple[Rule, ...] | None = None,
     if "ispingserver" in kws:
         out = out.withColumn("_p_pingsrv",
                              is_ping_server_col(F.col("url")))
+    # url-regex terms evaluated once per row here; rule_idx_expr reads
+    # the columns (same map derivation on both sides)
+    for (kw, val), name in regex_pred_cols(rules).items():
+        _ = kw
+        out = out.withColumn(name, F.col("url").rlike(val))
     return out
 
 

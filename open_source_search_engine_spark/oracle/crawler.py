@@ -66,8 +66,11 @@ class CrawlConfig:
     # use_bloom, kept for back-compat), "bloom", or "cuckoo" (the
     # deletable twin, operators/cuckoo.py).  Routing only — membership
     # is always confirmed against the exact table, so parity holds for
-    # every kind (test_bloom_parity.py / test_cuckoo.py).
-    seen_filter: str = ""
+    # every kind (test_bloom_parity.py / test_cuckoo.py).  Default is
+    # the proven persistent-cuckoo configuration (VERDICT r5 Next #3) —
+    # rounds without harvestable parents skip the filter entirely, so
+    # the default costs nothing until links actually flow.
+    seen_filter: str = "cuckoo"
     # C5 pre-filter geometry/plan (round 5, VERDICT r4 Wrong #1): bits
     # sets the blob partition count (2^bits blobs over the uh48 range);
     # mode "auto" broadcasts the blobs and streams candidates through

@@ -147,6 +147,10 @@ class CrawlDriver:
         from ..sources.snapstore import url_seen_table
         self.t_url_seen = url_seen_table(workdir)
         self.pages = spark.read.parquet(pages_path)
+        # one metadata-cheap probe at init (untimed setup): rounds over
+        # an empty pages table can never harvest, so they skip the
+        # per-round parents emptiness probe AND the seen-filter build
+        self._pages_has_rows = not self.pages.isEmpty()
         self.hostmeta = spark.read.parquet(hostmeta_path)
         # ONE init job: host count (broadcast size gate) + a robots
         # content fingerprint (cache-invalidation key, below)
@@ -486,6 +490,33 @@ class CrawlDriver:
                 cand = cand.withColumn("site_num_inlinks", F.lit(0))
         return cand
 
+    def _inlink_counts(self, gkeys: list[str]):
+        """F3 per-url inlink count = distinct parent C-blocks, cap 20
+        (Spider.cpp:4290-4332); counts as of round start.  Salted-layout
+        inlinks (stamped with the TARGET's first_ip at discovery)
+        group+join on the triple — exchange-free against the bucketed
+        scan; pre-salted snapshots fall back to the uh48-keyed shuffle
+        join.  The triple branch requires EVERY data dir to physically
+        carry first_ip (ADVICE r5 #1: a mixed-version union surfaces
+        old dirs' missing column as NULL first_ip, which _ensure_salt
+        cannot heal — the triple-key group/join would silently drop
+        those rows' counts); _salt alone is healable (deterministic in
+        uh48).  Returns (counts_df with _n_inlinks, join keys)."""
+        inlinks = self.t_inlinks.read(self.spark)
+        if inlinks is None:
+            inlinks = self.spark.createDataFrame(
+                [], "uh48 long, parent_cblock long")
+        if self._inlinks_salted(inlinks):
+            inlinks = self._ensure_salt(inlinks, self.t_inlinks)
+            ikeys = gkeys
+        else:
+            ikeys = ["uh48"]
+        counts = (inlinks.groupBy(*ikeys)
+                  .agg(F.least(F.countDistinct("parent_cblock"),
+                               F.lit(20)).cast("int")
+                       .alias("_n_inlinks")))
+        return counts, ikeys
+
     def _inlinks_salted(self, inlinks: DataFrame) -> bool:
         """True iff the inlinks table can group/join on the salted triple:
         the union carries the columns AND every data dir physically has
@@ -501,6 +532,80 @@ class CrawlDriver:
             if "first_ip" not in self.spark.read.parquet(d).columns:
                 return False
         return True
+
+    # ---- the packed request-flag word (VERDICT r5 Wrong #1) ----------
+    # The reference computes url-derived predicate bits ONCE at
+    # request-build time and stores them in the spiderdb record
+    # (m_hasMediaExtension, m_isWWWSubdomain ... Spider.h:592-698) so
+    # the spider loop never re-parses url strings.  The candidate path
+    # does the same at the SCAN: every boolean the round needs — stored
+    # request flags, url-predicate bits, the robots verdict, the
+    # sanity-prefix check — packs into ONE long before the dedup
+    # aggregation, and the url/host/domain strings are DROPPED there.
+    # Dedup, the reply join, rule eval, politeness and both winner
+    # windows then run over ~10 narrow columns; the strings are
+    # re-attached (one broadcast join against the scan) only for the
+    # ≤budget winners.  Correctness: every packed bit is a function of
+    # the url/host (constant across duplicate rows of a uh48), so
+    # packing before the min-by dedup picks the same values the wide
+    # plan carried on the winner row.
+
+    def _flag_bit_cols(self) -> list[str]:
+        """Bit positions 0..n-1 of _rflags; in_google's (valid, value)
+        pair occupies the next two bits (NULL = tag absent = valid off,
+        the rule-skip semantics)."""
+        kws = self._rule_kws
+        cols = ["is_injected", "is_reindex", "same_dom", "same_host",
+                "parent_is_rss", "parent_is_sitemap", "is_rss",
+                "is_new_outlink", "was_parent_indexed", "is_docid_based",
+                "has_authority_inlink", "parent_is_pingserver",
+                "_p_ismedia", "_p_iswww", "_p_isroot", "_p_insitelist",
+                "_allowed", "_p_sane_url"]
+        if "ispermalink" in kws:
+            cols.append("_p_permalink")
+        if "isrssext" in kws:
+            cols.append("_p_rssext")
+        if "ispingserver" in kws:
+            cols.append("_p_pingsrv")
+        from ..kernel.urlfilter import parse_expression
+        tag_vals = sorted({t.value for r in self.cfg.rules
+                           for t in parse_expression(r.expression)
+                           if t.keyword == "tag" and t.value})
+        cols += [f"_p_tag_{v}" for v in tag_vals]
+        cols += sorted(Fc.regex_pred_cols(self.cfg.rules).values())
+        if len(cols) > 61:  # 61+2 in_google bits: the long is full
+            raise ValueError("too many predicate bits to pack: "
+                             f"{len(cols)}")
+        return cols
+
+    @staticmethod
+    def _pack_flags(df: DataFrame, cols: list[str]):
+        expr = F.lit(0).cast("long")
+        for i, c in enumerate(cols):
+            expr = expr + F.shiftleft(
+                F.coalesce(F.col(c).cast("boolean"), F.lit(False))
+                .cast("long"), i)
+        n = len(cols)
+        expr = (expr +
+                F.shiftleft(F.col("in_google").isNotNull()
+                            .cast("long"), n) +
+                F.shiftleft(F.coalesce(F.col("in_google").cast("boolean"),
+                                       F.lit(False)).cast("long"), n + 1))
+        return df.withColumn("_rflags", expr)
+
+    @staticmethod
+    def _unpack_flags(df: DataFrame, cols: list[str]) -> DataFrame:
+        def bit(i):
+            return F.shiftright(F.col("_rflags"), i) \
+                .bitwiseAND(1) == 1
+        for i, c in enumerate(cols):
+            df = df.withColumn(c, bit(i))
+        n = len(cols)
+        df = df.withColumn(
+            "in_google",
+            F.when(bit(n), bit(n + 1))
+            .otherwise(F.lit(None).cast("boolean")))
+        return df.drop("_rflags")
 
     # ------------------------------------------------------------------
     def _candidates(self, requests: DataFrame, replies: DataFrame,
@@ -520,133 +625,163 @@ class CrawlDriver:
         # exchange (the bench-proven salted layout, snapstore.py).
         gkeys = ["first_ip", "_salt", "uh48"]
 
+        kws = self._rule_kws
+
         # ---- 1. latest reply per uh48 (G1 sort-merge analog) ----------
         # groupBy + max_by: map-side partial combine, no window sort.
         # Tiebreaker beyond spidered_time_ms: (err_code, err_count,
         # http_status) struct order — same-millisecond duplicate replies
         # resolve deterministically (the oracle compares the same tuple).
+        # The aggregation buffer carries only the reply columns some
+        # rule (or the schedule output) actually reads — the four
+        # ordering columns always ride (the tiebreaker is semantics).
+        rep_opt = []
+        if "isindexed" in kws or \
+                not {"sitepages", "domainpages"}.isdisjoint(kws):
+            rep_opt.append("is_indexed")
+        if "lang" in kws:
+            rep_opt.append("lang")
+        if "percentchangedperday" in kws:
+            rep_opt.append("percent_changed_per_day")
+        if "newinlinks" in kws:
+            rep_opt.append("new_requests")
+        if not {"hascontactinfo", "hasaddress"}.isdisjoint(kws):
+            rep_opt += ["has_contact_info", "has_address"]
+        rep_sel = replies.select(
+            *gkeys, "spidered_time_ms", "err_code", "err_count",
+            "http_status", "content_hash32", *rep_opt)
         latest_reply = (
             windows_ops.argmax_per_key(
-                replies, gkeys,
+                rep_sel, gkeys,
                 ["spidered_time_ms", "err_code", "err_count",
                  "http_status"], desc=True)
             .select(*gkeys,
                     F.col("spidered_time_ms").alias("last_spidered_ms"),
-                    "err_code", "err_count", "http_status", "is_indexed",
-                    F.col("lang").alias("reply_lang"),
+                    "err_code", "err_count", "http_status",
                     F.col("content_hash32").alias("prev_content_hash32"),
-                    F.col("percent_changed_per_day").alias("_pcd"),
-                    "new_requests",
-                    # contact/address bits ride the reply join only when
-                    # a rule reads them (keeps the hot shuffle narrow)
-                    *(["has_contact_info", "has_address"]
-                      if not {"hascontactinfo", "hasaddress"}
-                      .isdisjoint(self._rule_kws) else []))
+                    *[c for c in rep_opt
+                      if c not in ("lang", "percent_changed_per_day")],
+                    *([F.col("lang").alias("reply_lang")]
+                      if "lang" in rep_opt else []),
+                    *([F.col("percent_changed_per_day").alias("_pcd")]
+                      if "percent_changed_per_day" in rep_opt else []))
         )
 
         # ---- 2. request dedup per uh48 (C2 merge-dedup analog) --------
         # min (hop_count, added_time_ms) winner + OR-merged is_addurl,
-        # again as one hash aggregation
-        req_others = [c for c in requests.columns
-                      if c not in (*gkeys, "is_addurl")]
+        # again as one hash aggregation — over the PACKED narrow row:
+        # all url/host-derived bits (predicates, robots verdict, sanity
+        # prefix) are computed here at the scan and bit-packed into
+        # _rflags; the strings never enter the aggregation buffer or any
+        # downstream operator (VERDICT r5 Wrong #1).
+        need_quota_host = not {"sitepages", "domainpages", "seedcount",
+                               "sitenuminlinks"}.isdisjoint(kws)
+        need_domain = "domainpages" in kws
+        bit_cols = self._flag_bit_cols()
+        packed = requests.join(self._bcast_hosts(self.host_rules),
+                               "host", "left")
+        packed = (
+            Fc.attach_url_predicates(packed, cfg.rules, self.site_list)
+            # robots verdict per stored row (host_rules = Disallow
+            # prefixes parsed once per host at init; pure Column match)
+            .withColumn("_allowed", Fc.robots_allowed_col(
+                F.col("robots_disallow"), path_cgi_col(F.col("url"))))
+            # B1 sanity: the url-shape half (uh48-functional); the
+            # far-future added_time half stays post-dedup on the winner
+            .withColumn("_p_sane_url",
+                        F.col("url").startswith("http") &
+                        (F.length("url") <= 1024))
+            .withColumn("crawl_delay_ms",
+                        F.col("crawl_delay_ms").cast("long"))
+        )
+        packed = self._pack_flags(packed, bit_cols)
+        narrow = ["hop_count", "added_time_ms", "_rflags",
+                  "crawl_delay_ms"]
+        if not {"urlage", "age"}.isdisjoint(kws):
+            narrow.append("discovery_time_ms")
+        if "tld" in kws:
+            packed = packed.withColumn("tld", Fc.tld_col(F.col("host")))
+            narrow.append("tld")
+        if need_quota_host:
+            narrow.append("host")
+        if need_domain:
+            narrow.append("domain")
+        packed = packed.select(*gkeys, "is_addurl", *narrow)
         req = (
-            requests.groupBy(*gkeys).agg(
-                F.min_by(F.struct(*[F.col(c) for c in req_others]),
+            packed.groupBy(*gkeys).agg(
+                F.min_by(F.struct(*[F.col(c) for c in narrow]),
                          F.struct("hop_count", "added_time_ms"))
                 .alias("_r"),
                 F.max("is_addurl").alias("is_addurl"))
             .select(*gkeys, "is_addurl",
-                    *[F.col(f"_r.{c}").alias(c) for c in req_others])
+                    *[F.col(f"_r.{c}").alias(c) for c in narrow])
         )
+        # unpack the winner's bits back into named columns — pure
+        # projections, fused into the same codegen stage (cost ≈ 0);
+        # row WIDTH only matters at agg/sort/exchange boundaries, all of
+        # which sit behind explicit narrow projections
+        req = self._unpack_flags(req, bit_cols)
 
         # ---- F3: per-url inlink count = distinct parent C-blocks, cap 20
         # (Spider.cpp:4290-4332); counts as of round start
-        inlinks = self.t_inlinks.read(self.spark)
-        if inlinks is None:
-            inlinks = self.spark.createDataFrame(
-                [], "uh48 long, parent_cblock long")
-        # salted-layout inlinks (stamped with the TARGET's first_ip at
-        # discovery) group+join on the triple — exchange-free against
-        # the bucketed scan; pre-salted snapshots fall back to the
-        # uh48-keyed shuffle join.  The triple branch requires EVERY data
-        # dir to physically carry first_ip (ADVICE r5 #1: a mixed-version
-        # union surfaces old dirs' missing column as NULL first_ip, which
-        # _ensure_salt cannot heal — the triple-key group/join would
-        # silently drop those rows' counts); _salt alone is healable
-        # (deterministic in uh48).
-        if self._inlinks_salted(inlinks):
-            inlinks = self._ensure_salt(inlinks, self.t_inlinks)
-            ikeys = gkeys
-        else:
-            ikeys = ["uh48"]
-        inlink_counts = (inlinks.groupBy(*ikeys)
-                         .agg(F.least(F.countDistinct("parent_cblock"),
-                                      F.lit(20)).cast("int")
-                              .alias("_n_inlinks")))
+        inlink_counts, ikeys = self._inlink_counts(gkeys)
 
         # ---- 3. rule table (compiled F.when chain) --------------------
         now_s = now_ms // 1000
         cand = (
             req
-            # B1 corruption/sanity filter (Spider.cpp:4471-4512): http(s)
-            # prefix, record-size (url length) bound, far-future added time
-            .filter(F.col("url").startswith("http") &
-                    (F.length("url") <= 1024) &
+            # B1 corruption/sanity filter (Spider.cpp:4471-4512): the
+            # url-shape half is the packed _p_sane_url bit; the
+            # far-future bound checks the winner's added_time
+            .filter(F.col("_p_sane_url") &
                     (F.col("added_time_ms") <=
                      F.lit(now_ms + 86_400_000)))
-            .drop("page_num_inlinks")
             .join(inlink_counts, ikeys, "left")
             .withColumn("page_num_inlinks",
                         F.coalesce("_n_inlinks", F.lit(0)))
             .drop("_n_inlinks")
             .join(latest_reply, gkeys, "left")
             .withColumn("has_reply", F.col("last_spidered_ms").isNotNull())
-            # JVM tld (kernel twin tld_col): a pandas-UDF here would
-            # drop the scan partitioning and re-shuffle the frontier at
-            # the winner window (plan-shape test)
-            .withColumn("tld", Fc.tld_col(F.col("host")))
-            .withColumn("lang", F.coalesce("reply_lang", F.lit("")))
-            # second-granularity rule inputs — integer floor division to
-            # match the oracle's //1000 (build_context)
-            .withColumn("last_spider_time",
-                        F.coalesce(F.floor(F.col("last_spidered_ms")
-                                           / 1000), F.lit(0)))
-            .withColumn("url_age",
-                        F.greatest(
-                            F.lit(0).cast("long"),
-                            F.lit(now_s) -
-                            F.floor(F.col("discovery_time_ms") / 1000)))
-            .withColumn("spider_waited",
-                        F.when(F.col("has_reply"),
-                               F.greatest(F.lit(0).cast("long"),
-                                          F.lit(now_s) -
-                                          F.col("last_spider_time")))
-                        .otherwise(F.lit(0)))
-            .withColumn("percent_changed_per_day",
-                        F.coalesce(F.col("_pcd"), F.lit(0.0)))
         )
+        # rule inputs that exist only when some rule reads them (each
+        # would otherwise widen every row into the windows)
+        if "lang" in kws:
+            cand = cand.withColumn("lang",
+                                   F.coalesce("reply_lang", F.lit("")))
+        # second-granularity rule inputs — integer floor division to
+        # match the oracle's //1000 (build_context)
+        if not {"lastspidertime", "isnewrequest",
+                "spiderwaited"}.isdisjoint(kws):
+            cand = cand.withColumn(
+                "last_spider_time",
+                F.coalesce(F.floor(F.col("last_spidered_ms") / 1000),
+                           F.lit(0)))
+        if not {"urlage", "age"}.isdisjoint(kws):
+            cand = cand.withColumn(
+                "url_age",
+                F.greatest(F.lit(0).cast("long"),
+                           F.lit(now_s) -
+                           F.floor(F.col("discovery_time_ms") / 1000)))
+        if "spiderwaited" in kws:
+            cand = cand.withColumn(
+                "spider_waited",
+                F.when(F.col("has_reply"),
+                       F.greatest(F.lit(0).cast("long"),
+                                  F.lit(now_s) -
+                                  F.col("last_spider_time")))
+                .otherwise(F.lit(0)))
+        if "percentchangedperday" in kws:
+            cand = cand.withColumn("percent_changed_per_day",
+                                   F.coalesce(F.col("_pcd"), F.lit(0.0)))
         cand = self._attach_quota_columns(cand, req, latest_reply)
-        cand = Fc.with_rule_outputs(cand, self.spark, cfg.rules,
-                                    self.site_list)
+        cand = Fc.finish_rule_outputs(
+            Fc.attach_reply_predicates(cand), cfg.rules)
         cand = cand.filter(~F.col("force_delete") &
                            (F.col("max_spiders") > 0))
 
-        # ---- 4. robots + crawl delay (PRE-PARSED rules, size-gated
-        # broadcast) ----- host_rules holds effective Disallow prefixes
-        # parsed once per host at init; the per-url check is a pure
-        # Column prefix match (functions/filters.robots_allowed_col —
-        # kernel/robots.match_path twin) — no Python at all in the
-        # per-candidate path, so the scan partitioning survives to the
-        # winner window.
-        cand = (
-            cand.join(self._bcast_hosts(self.host_rules), "host", "left")
-            .withColumn("_allowed", Fc.robots_allowed_col(
-                F.col("robots_disallow"), path_cgi_col(F.col("url"))))
-            .filter(F.col("_allowed"))
-            .withColumn("crawl_delay_ms",
-                        F.col("crawl_delay_ms").cast("long"))
-            .drop("robots_disallow", "_allowed")
-        )
+        # ---- 4. robots (precomputed verdict bit + crawl delay from the
+        # packed scan stage — the per-candidate path touches no strings)
+        cand = cand.filter(F.col("_allowed"))
 
         # ---- 5. politeness / spider time (getSpiderTimeMS) ------------
         # ip_state is one row per distinct IP (≤ |hosts|) — size-gated
@@ -681,6 +816,20 @@ class CrawlDriver:
             .filter(F.col("spider_time_ms") <= F.lit(now_ms))
         )
 
+        # NARROW before the winner windows (guide §2.3 — the window
+        # SORTS and the phase-2 survivor exchange carry exactly these):
+        # every rule input / intermediate is consumed by now; what
+        # remains is the winner ordering, the politeness delays and the
+        # schedule-output columns.  ~10 longs/row instead of the 51-
+        # column (3-string) row the r5 plan sorted and shuffled.
+        d = getattr(cfg, "fetch_duration_ms", 0)
+        keep = [*gkeys, "priority", "hop_count", "spider_time_ms",
+                "harvest_links", "err_count", "prev_content_hash32",
+                "last_spidered_ms", "ip_wait_ms", "crawl_delay_ms"]
+        if d > 0:
+            keep += ["rule_idx", "ip_max_spiders"]
+        cand = cand.select(*[c for c in keep if c in cand.columns])
+
         # ---- 6. winners per IP (D2 window) + 7. spacing (D7/D6) -------
         w_ip = Window.partitionBy("first_ip").orderBy(
             F.desc(F.col("priority")), F.asc("hop_count"),
@@ -698,20 +847,23 @@ class CrawlDriver:
             # only the ≤K-per-(ip,salt) survivors pay the per-IP
             # exchange of phase 2.  winner_salt_buckets (legacy knob)
             # re-derives the salt when the column is absent.
-            if "_salt" not in cand.columns:
+            stored_salt = "_salt" in cand.columns
+            if not stored_salt:
                 cand = cand.withColumn(
                     "_salt", F.pmod(F.col("uh48"),
                                     F.lit(salt_buckets)))
             w_salt = Window.partitionBy("first_ip", "_salt").orderBy(
                 F.desc(F.col("priority")), F.asc("hop_count"),
                 F.asc("spider_time_ms"), F.asc("uh48"))
+            # a STORED salt survives to the schedule so run_round can
+            # hydrate urls by the storage triple (bucketed-scan join);
+            # a knob-derived salt is not the storage salt — drop it
             cand = (cand
                     .withColumn("_r1", F.row_number().over(w_salt))
                     .filter(F.col("_r1") <= cfg.winner_k)
-                    .drop("_r1", "_salt"))
+                    .drop("_r1", *([] if stored_salt else ["_salt"])))
         cand = (cand.withColumn("_rank", F.row_number().over(w_ip))
                 .filter(F.col("_rank") <= cfg.winner_k))
-        d = getattr(cfg, "fetch_duration_ms", 0)
         if d <= 0:
             # instantaneous fetches: per-IP spacing is a pure cumsum
             # window (codegen hot path); concurrency caps never bind —
@@ -964,8 +1116,11 @@ class CrawlDriver:
         # band-pruned budget (only the boundary priority band is sorted,
         # operators/budget.py) + distributed seq stamping (range-partition
         # + per-partition offsets) — no coalesce(1), no global window
+        salted_sched = "_salt" in cand.columns
         sel = cand.select(
-            "url", "uh48", "first_ip", "host", "hop_count",
+            "uh48", "first_ip",
+            *(["_salt"] if salted_sched else []),
+            "hop_count",
             "priority", "harvest_links", "fetch_time_ms",
             F.coalesce("err_count", F.lit(0)).alias("prev_errs"),
             F.coalesce("prev_content_hash32", F.lit(0))
@@ -976,6 +1131,36 @@ class CrawlDriver:
         scheduled = budget_ops.stamp_global_seq(
             sel, [F.desc("priority"), F.asc("fetch_time_ms"),
                   F.asc("uh48")], pins=pins)
+        # late materialization (VERDICT r5 Wrong #1 / guide §8): the
+        # candidate pipeline ran string-free; hydrate url/host for the
+        # ≤budget winners only (doledb stores the winning request — same
+        # idea).  Salted layout: join on the storage triple so the
+        # frontier side reuses the bucketed scan partitioning — the
+        # small schedule side shuffles, the scan does not, and no 500k-
+        # row relation round-trips through the driver as a broadcast.
+        # dropDuplicates (clustering-compatible, so exchange-free here)
+        # collapses duplicate stored rows of a scheduled uh48 — url and
+        # host are uh48-functional, so content matches the dedup
+        # winner's strings the pre-r6 plan carried.
+        mode = os.environ.get("OSSE_HYDRATE",
+                              getattr(cfg, "hydrate_mode", "auto"))
+        if salted_sched and mode != "broadcast":
+            hk = ["first_ip", "_salt", "uh48"]
+            scheduled = (requests.select(*hk, "url", "host")
+                         .join(scheduled, hk)
+                         .dropDuplicates(hk)
+                         .drop("_salt"))
+        else:
+            scheduled = scheduled.drop("_salt") if salted_sched \
+                else scheduled
+            hyd = requests.select("uh48", "url", "host")
+            if cfg.budget <= getattr(cfg, "hydrate_broadcast_rows",
+                                     2_000_000):
+                scheduled = hyd.join(F.broadcast(scheduled), "uh48")
+            else:
+                scheduled = hyd.join(scheduled, "uh48")
+            scheduled = scheduled.dropDuplicates(["uh48"])
+        scheduled = budget_ops._pin(scheduled, pins)
 
         # ---- 9. fetch simulation (A4: join vs pages) -------------------
         fetched = (
@@ -1080,6 +1265,15 @@ class CrawlDriver:
         )
         seen_kind = getattr(cfg, "seen_filter", "") or \
             ("bloom" if getattr(cfg, "use_bloom", False) else "")
+        # the routing filter only earns its build when there are links
+        # to route: a round with no harvestable parents (empty pages
+        # table, harvest_links off everywhere) must not pay a filter
+        # build/sync job.  An empty pages table is decided once at init;
+        # otherwise parents is pinned-backed, so the emptiness probe
+        # materializes work the stats job needs anyway.
+        if seen_kind and (not self._pages_has_rows or
+                          parents.isEmpty()):
+            seen_kind = ""
         if seen_kind:
             # C5 pre-filter: definitely-new urls skip the (large) exact
             # anti-join shuffle; maybe-seen go through it. Routing only —
@@ -1187,12 +1381,25 @@ class CrawlDriver:
         n_ok, n_err = int(stats.ok), int(stats.err)
         n_new, n_inl = stats.n_new, stats.n_inl
 
-        self.t_replies.append(with_salt(new_replies),
-                              {"round": rnd, "rows": n_sched})
-        if n_inl > 0:
-            self.t_inlinks.append(with_salt(new_inlinks),
-                                  {"round": rnd, "rows": n_inl})
-        if n_new > 0:
+        # The four table commits are INDEPENDENT (separate tables,
+        # separate manifests; atomic per-table os.replace commits) and
+        # all read from pinned intermediates — submit them from a small
+        # thread pool so their write jobs back-fill each other's task
+        # tails (guide §2.6) instead of paying four sequential job
+        # latencies.  Only the url_seen/cuckoo syncs order AFTER the
+        # requests append (their lineage pins its snapshot id).
+        def _commit_replies():
+            self.t_replies.append(with_salt(new_replies),
+                                  {"round": rnd, "rows": n_sched})
+
+        def _commit_inlinks():
+            if n_inl > 0:
+                self.t_inlinks.append(with_salt(new_inlinks),
+                                      {"round": rnd, "rows": n_inl})
+
+        def _commit_requests():
+            if n_new <= 0:
+                return
             seen_was_synced = self._url_seen_synced()
             self.t_requests.append(
                 with_salt(new_requests.drop("parent_uh48")),
@@ -1214,25 +1421,39 @@ class CrawlDriver:
                 self._cuckoo_sync_inserts(
                     new_requests.select("uh48").distinct(), rnd,
                     getattr(cfg, "seen_filter_bits", 6))
-        # ip_state merge (overwrite small table); emptiness from the
-        # manifest, not a count() job
-        new_ip = (scheduled.groupBy("first_ip")
-                  .agg(F.max("fetch_time_ms").alias("last_download_ms")))
-        merged_ip = (
-            ip_state.join(new_ip, "first_ip", "full")
-            .select("first_ip",
-                    F.greatest(
-                        F.coalesce(ip_state.last_download_ms, F.lit(0)),
-                        F.coalesce(new_ip.last_download_ms, F.lit(0)))
-                    .alias("last_download_ms"))
-        ) if self.t_ip_state.exists() else new_ip
-        self.t_ip_state.overwrite(merged_ip, {"round": rnd})
 
-        self.t_schedule.append(
-            scheduled.select(F.lit(rnd).alias("round"), "seq", "url",
-                             "uh48", "first_ip", "priority", "hop_count",
-                             "fetch_time_ms"),
-            {"round": rnd})
+        def _commit_ip_state():
+            # ip_state merge (overwrite small table); emptiness from
+            # the manifest, not a count() job
+            new_ip = (scheduled.groupBy("first_ip")
+                      .agg(F.max("fetch_time_ms")
+                           .alias("last_download_ms")))
+            merged_ip = (
+                ip_state.join(new_ip, "first_ip", "full")
+                .select("first_ip",
+                        F.greatest(
+                            F.coalesce(ip_state.last_download_ms,
+                                       F.lit(0)),
+                            F.coalesce(new_ip.last_download_ms,
+                                       F.lit(0)))
+                        .alias("last_download_ms"))
+            ) if self.t_ip_state.exists() else new_ip
+            self.t_ip_state.overwrite(merged_ip, {"round": rnd})
+
+        def _commit_schedule():
+            self.t_schedule.append(
+                scheduled.select(F.lit(rnd).alias("round"), "seq", "url",
+                                 "uh48", "first_ip", "priority",
+                                 "hop_count", "fetch_time_ms"),
+                {"round": rnd})
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [pool.submit(f) for f in
+                    (_commit_replies, _commit_inlinks, _commit_requests,
+                     _commit_ip_state, _commit_schedule)]
+            for fu in futs:
+                fu.result()
 
         metrics = dict(round=rnd, scheduled=int(n_sched), fetched_ok=n_ok,
                        fetch_errors=n_err, new_urls=int(n_new))

@@ -157,28 +157,33 @@ def run_seed_ingest(spark: SparkSession, seed_dir: str, hostmeta_path: str,
                                    "uh48", "left_anti")
             accepted = accepted.unionByName(maybe)
         accepted = accepted.persist()
-        n = accepted.count()
+        # ONE accounting job per micro-batch (VERDICT r5 Next #7): the
+        # insert result's summed n_requested IS the accepted count
+        # (keys are unique within a batch — dropDuplicates upstream,
+        # and the accepted/maybe split is disjoint), so the old
+        # separate count() folds into the capacity check.
+        grown = cuckoo_insert(_state["filt"],
+                              accepted.select("uh48"),
+                              partition_bits=bits).persist()
+        row = grown.agg(
+            F.coalesce(F.sum("n_requested"), F.lit(0)).alias("rq"),
+            F.coalesce(F.sum("n_applied"), F.lit(0)).alias("ap")
+        ).collect()[0]
+        n = int(row.rq)
         if n:
             table.append(with_salt(accepted),
                          {"stream_batch": batch_id,
                           "source": "seed_stream",
                           "frontier_scanned": scanned})
-            grown = cuckoo_insert(_state["filt"],
-                                  accepted.select("uh48"),
-                                  partition_bits=bits).persist()
-            row = grown.agg(
-                F.coalesce(F.sum("n_requested"), F.lit(0)).alias("rq"),
-                F.coalesce(F.sum("n_applied"), F.lit(0)).alias("ap")
-            ).collect()[0]
             old = _state["filt"]
-            if int(row.rq) == int(row.ap):
+            if n == int(row.ap):
                 _state["filt"] = _materialize(_filter_cols(grown))
             else:
                 # over capacity: one rebuild from the (post-append)
                 # exact table — the amortized-doubling path
                 _state["filt"] = _init_filter(sess)
-            grown.unpersist()
             old.unpersist()
+        grown.unpersist()
         accepted.unpersist()
         routed.unpersist()
 

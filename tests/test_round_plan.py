@@ -33,7 +33,7 @@ def _round_plans(drv):
     requests, replies, ip_state = drv._read_state()
     cand = drv._candidates(requests, replies, ip_state, CFG.t0_ms)
     pins = []
-    sel = cand.select("url", "uh48", "first_ip", "host", "hop_count",
+    sel = cand.select("uh48", "first_ip", "hop_count",
                       "priority", "harvest_links", "fetch_time_ms",
                       F.coalesce("err_count", F.lit(0)).alias("prev_errs"))
     sel = b.budget_select(sel, CFG.budget, pins=pins)
@@ -130,7 +130,11 @@ def test_round_job_count_bounded(driver):
     driver.run_round(0)
     after = set(tracker.getJobIdsForGroup("crawl-round-0") or [])
     n_jobs = len(after - before)
-    assert 0 < n_jobs <= 55, f"round fired {n_jobs} jobs"
+    # r6 default config additionally runs: the parents emptiness probe,
+    # the persistent-cuckoo build + mutation-count + sync-insert jobs
+    # (seen_filter now defaults to "cuckoo") and the url_seen delta
+    # append — measured ~68 with AQE stage-jobs; guard at 85.
+    assert 0 < n_jobs <= 85, f"round fired {n_jobs} jobs"
 
 
 def test_path_cgi_col_matches_kernel(spark, driver):

@@ -119,12 +119,13 @@ def test_mixed_version_inlinks_not_dropped(spark, tmp_path):
     assert not drv._inlinks_salted(mixed)  # falls back to uh48 keys
 
     def counts_of(driver):
-        requests, replies, ip_state = driver._read_state()
-        cand = driver._candidates(requests, replies, ip_state,
-                                  cfg.t0_ms + 2 * cfg.round_ms)
-        return {r.uh48: r.page_num_inlinks
-                for r in cand.select("uh48",
-                                     "page_num_inlinks").collect()}
+        # the counts exactly as _candidates consumes them (shared
+        # helper — the candidate output itself no longer carries
+        # page_num_inlinks past the rule stage)
+        counts, ikeys = driver._inlink_counts(
+            ["first_ip", "_salt", "uh48"])
+        return {r.uh48: r._n_inlinks
+                for r in counts.select("uh48", "_n_inlinks").collect()}
 
     want = {r.uh48: r.n for r in
             (mixed.groupBy("uh48")
