@@ -69,7 +69,8 @@ def main():
                            cfg.t0_ms + 2 * cfg.round_ms)
     dump("product_candidates", cand)
     pins: list = []
-    keep = [c for c in ("url", "uh48", "first_ip", "host", "hop_count",
+    salted = "_salt" in cand.columns
+    keep = [c for c in ("uh48", "first_ip", "_salt", "hop_count",
                         "priority", "harvest_links", "fetch_time_ms")
             if c in cand.columns]
     sel = cand.select(*keep,
@@ -78,6 +79,11 @@ def main():
     scheduled = b.stamp_global_seq(
         sel, [F.desc("priority"), F.asc("fetch_time_ms"), F.asc("uh48")],
         pins=pins)
+    if salted:  # run_round's late-materialization hydration join
+        hk = ["first_ip", "_salt", "uh48"]
+        scheduled = (requests.select(*hk, "url", "host")
+                     .join(scheduled, hk)
+                     .dropDuplicates(hk).drop("_salt"))
     dump("product_scheduled", scheduled)
     for p in pins:
         p.unpersist()
