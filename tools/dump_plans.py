@@ -88,14 +88,19 @@ def main():
     for p in pins:
         p.unpersist()
 
-    # exact-confirm (url_seen) anti-join plan for the new-request path
+    # exact-confirm (url_seen) anti-join plan for the new-request path,
+    # at the frontier-scale join shape (no broadcast of the seen side)
     try:
-        exploded = spark.range(0, 10).select(
-            F.col("id").alias("uh48"), F.lit(0).alias("seq"),
-            F.lit(0).alias("link_idx"))
-        seen = drv._seen_df(requests) if hasattr(drv, "_seen_df") \
-            else requests.select("uh48").distinct()
-        dump("exact_confirm_anti", exploded.join(seen, "uh48", "left_anti"))
+        left = spark.range(0, 10).select(F.col("id").alias("uh48"))
+        if hasattr(drv, "_seen_parts"):
+            parts = drv._seen_parts(requests)
+        else:  # pre-r6 shape
+            parts = [requests.select("uh48").distinct()]
+        for p in parts:
+            left = left.join(p, "uh48", "left_anti")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        dump("exact_confirm_anti", left)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     except Exception as e:  # pre-refactor shape
         print("exact_confirm_anti skipped:", e)
 
